@@ -1,0 +1,148 @@
+"""Single configuration schema for the whole framework.
+
+The reference scatters its hyperparameters across module-level constants and
+inline literals (utils/sfm_reconstruction.py:14-19, utils/find_matches.py:99-114,
+:152, :203; intrinsics at utils/sfm_reconstruction.py:45-49). Here they live in
+one frozen dataclass tree so a run is fully described by one object that can be
+hashed into jit static args.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class FeatureConfig:
+    """SIFT-class feature frontend (replaces FAST+ORB, find_matches.py:96-118).
+
+    Capability parity is "detect keypoints + descriptors, optional silhouette
+    mask"; we use a DoG detector + 128-D gradient-histogram descriptor (the
+    SIFT family) because float descriptors map matching onto the MXU as a
+    single matmul, where 256-bit binary ORB would need popcount gather loops.
+    """
+    max_keypoints: int = 2048          # fixed per-image budget (padded + masked)
+    num_octaves: int = 4
+    scales_per_octave: int = 3
+    sigma0: float = 1.6                # base blur of octave 0, scale 0
+    assumed_blur: float = 0.5          # blur assumed present in the input image
+    contrast_threshold: float = 0.015  # DoG |response| gate (OpenCV uses 0.04/n)
+    edge_threshold: float = 10.0       # Hessian edge ratio gate (SIFT standard)
+    descriptor_width: int = 4          # 4x4 spatial bins
+    descriptor_bins: int = 8           # 8 orientation bins -> 128-D
+    descriptor_scale: float = 3.0      # bin size = scale * kp_sigma
+    descriptor_clip: float = 0.2       # clip normalized descriptor, renormalize
+    upsample_first_octave: bool = False
+    mask_dilate: int = 0               # optional mask morphology (ref inverts+closes)
+
+
+@dataclasses.dataclass(frozen=True)
+class MatchConfig:
+    """Pairwise descriptor matching (replaces BFMatcher knn, find_matches.py:141-155)."""
+    ratio_threshold: float = 0.75      # Lowe ratio (find_matches.py:152)
+    max_matches: int = 1024            # fixed per-pair budget (padded + masked)
+    mutual_check: bool = True          # cross-check (reference used crossCheck=False)
+    tile_size: int = 512               # MXU tile for the distance matmul
+
+
+@dataclasses.dataclass(frozen=True)
+class VerifyConfig:
+    """Geometric verification gates (find_matches.py:157-214)."""
+    ransac_iters: int = 2048           # fixed hypothesis budget (ref: adaptive cv2)
+    ransac_threshold: float = 3.0      # px, symmetric epipolar (find_matches.py:157)
+    min_inliers: int = 15              # find_matches.py:203
+    min_inlier_ratio: float = 0.3      # find_matches.py:203
+    max_reproj_error: float = 2.0      # px, mean inlier error (find_matches.py:203)
+    min_spread: float = 20.0           # px std both axes/images (find_matches.py:185)
+    min_raw_matches: int = 8           # need >=8 for the 8-point solver
+
+
+@dataclasses.dataclass(frozen=True)
+class PnPConfig:
+    """PnP registration (sfm_reconstruction.py:14-18, :232-261)."""
+    ransac_iters: int = 1024           # ref RANSAC_ITERATIONS = 1000
+    reproj_threshold: float = 8.0      # ref PNP_REPROJECTION_ERROR
+    min_inliers: int = 15              # ref PNP_MIN_INLIERS
+    min_matches: int = 20              # ref MIN_MATCHES
+    refine_iters: int = 10             # Gauss-Newton polish on inliers
+
+
+@dataclasses.dataclass(frozen=True)
+class TriangulationConfig:
+    max_reproj_error: float = 4.0      # px gate (sfm_reconstruction.py:299)
+    min_views: int = 2
+    min_parallax_deg: float = 0.0      # optional parallax gate (0 = off, ref has none)
+
+
+@dataclasses.dataclass(frozen=True)
+class BAConfig:
+    """Bundle adjustment (replaces scipy TRF, sfm_reconstruction.py:401-549)."""
+    max_iterations: int = 30           # LM outer iterations
+    init_lambda: float = 1e-3
+    lambda_up: float = 4.0
+    lambda_down: float = 2.0
+    min_lambda: float = 1e-9
+    max_lambda: float = 1e6
+    huber_delta: float = 2.0           # px (ref uses huber loss, :511)
+    cg_iters: int = 50                 # CG iterations on the Schur system
+    cg_tol: float = 1e-6
+    use_dense_schur_below: int = 256   # cams <= this -> dense Cholesky on S
+    optimize_intrinsics: bool = True   # shared fx,fy,cx,cy (ref: per-cam then mean)
+    intrinsics_reg_weight: float = 0.1 # ref regularization weight (:498)
+    frequency: int = 7                 # run BA every k registrations (ref :19)
+    ftol: float = 1e-4                 # relative cost decrease stop (ref :512)
+
+
+@dataclasses.dataclass(frozen=True)
+class SelectConfig:
+    """Next-best-view scoring weights (image_selector.py:71-75, :146-151)."""
+    w_degree: float = 0.4
+    w_betweenness: float = 0.3
+    w_inliers: float = 0.3
+    w_importance: float = 0.3
+    w_connection_quality: float = 0.4
+    w_breadth: float = 0.2
+    w_visibility: float = 0.1          # ref computes this but it is constant (bug); we fix it
+    top_k: int = 5
+
+
+@dataclasses.dataclass(frozen=True)
+class CameraConfig:
+    """Shared pinhole intrinsics (sfm_reconstruction.py:40-49)."""
+    width: int = 1024
+    height: int = 768
+    fx: float = 1228.0
+    fy: float = 1228.0
+    cx: float = 512.0
+    cy: float = 384.0
+
+    def K(self):
+        import numpy as np
+        return np.array(
+            [[self.fx, 0.0, self.cx], [0.0, self.fy, self.cy], [0.0, 0.0, 1.0]],
+            dtype=np.float32,
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class ShardingConfig:
+    """Device-mesh layout for the sharded stages (matching sweep + BA)."""
+    data_axis: str = "data"            # pairs / observations are sharded over this
+    mesh_shape: Optional[Tuple[int, ...]] = None  # None -> all local devices, 1-D
+
+
+@dataclasses.dataclass(frozen=True)
+class SfMConfig:
+    features: FeatureConfig = dataclasses.field(default_factory=FeatureConfig)
+    matching: MatchConfig = dataclasses.field(default_factory=MatchConfig)
+    verify: VerifyConfig = dataclasses.field(default_factory=VerifyConfig)
+    pnp: PnPConfig = dataclasses.field(default_factory=PnPConfig)
+    triangulation: TriangulationConfig = dataclasses.field(default_factory=TriangulationConfig)
+    ba: BAConfig = dataclasses.field(default_factory=BAConfig)
+    select: SelectConfig = dataclasses.field(default_factory=SelectConfig)
+    camera: CameraConfig = dataclasses.field(default_factory=CameraConfig)
+    sharding: ShardingConfig = dataclasses.field(default_factory=ShardingConfig)
+    seed: int = 0
+
+    def replace(self, **kw) -> "SfMConfig":
+        return dataclasses.replace(self, **kw)
