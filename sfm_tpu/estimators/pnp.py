@@ -1,0 +1,163 @@
+"""Perspective-n-Point: batched DLT solver + RANSAC + Gauss-Newton polish.
+
+Replaces cv2.solvePnPRansac(SOLVEPNP_ITERATIVE, 1000 iters, 8 px, >= 15
+inliers) (ref sfm_reconstruction.py:232-261) with a vmapped fixed-budget
+pipeline: 6-point DLT hypotheses in normalized camera coordinates, masked
+pixel-error scoring, argmax consensus, then a few Gauss-Newton iterations on
+the inlier set (the analogue of OpenCV's iterative refinement), all with
+static shapes.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from sfm_tpu.geometry.projection import project
+from sfm_tpu.geometry.rotations import rodrigues, rotation_to_rvec
+from sfm_tpu.estimators.ransac import ransac_sample_indices, ransac_select
+from sfm_tpu.utils.precision import f32_matmuls
+
+_EPS = 1e-12
+
+
+@f32_matmuls
+def pnp_dlt(pts3d, pts2d_norm, weights=None):
+    """Linear PnP from >= 6 correspondences in *normalized* camera coords.
+
+    pts3d: (N, 3) world points; pts2d_norm: (N, 2) points premultiplied by
+    K^-1; weights: (N,) soft row selector. Solves for P = [R | t] up to scale
+    by DLT, then projects onto SO(3) x R^3 with the depth-sign disambiguated
+    so the weighted points land in front of the camera. Returns (R, t).
+    """
+    pts3d = jnp.asarray(pts3d)
+    x = pts2d_norm[..., 0:1]
+    y = pts2d_norm[..., 1:2]
+    X1 = jnp.concatenate([pts3d, jnp.ones_like(pts3d[..., :1])], axis=-1)  # (N, 4)
+    zeros = jnp.zeros_like(X1)
+    # Two rows per correspondence: [X 0 -xX], [0 X -yX] (12 unknowns).
+    r0 = jnp.concatenate([X1, zeros, -x * X1], axis=-1)
+    r1 = jnp.concatenate([zeros, X1, -y * X1], axis=-1)
+    A = jnp.concatenate([r0, r1], axis=-2)  # (2N, 12)
+    if weights is not None:
+        w = jnp.concatenate([weights, weights], axis=-1)
+        A = A * w[..., None]
+    # Row normalization for f32 conditioning.
+    A = A / jnp.maximum(jnp.linalg.norm(A, axis=-1, keepdims=True), _EPS)
+
+    AtA = jnp.einsum("...ni,...nj->...ij", A, A)
+    _, vecs = jnp.linalg.eigh(AtA)
+    p = vecs[..., :, 0]
+    P = p.reshape(p.shape[:-1] + (3, 4))
+
+    if weights is None:
+        weights = jnp.ones(pts3d.shape[:-1], dtype=pts3d.dtype)
+
+    def decompose(Pm):
+        """Project [M | p4] onto SO(3) x R^3 and report weighted mean depth."""
+        M = Pm[..., :3]
+        U, S, Vt = jnp.linalg.svd(M)
+        det = jnp.linalg.det(U @ Vt)
+        D = jnp.stack([jnp.ones_like(det), jnp.ones_like(det), det], axis=-1)
+        R = U @ (D[..., :, None] * Vt)
+        scale = 3.0 / jnp.maximum(jnp.sum(S, axis=-1), _EPS)
+        t = Pm[..., 3] * scale[..., None]
+        z = jnp.einsum("...ij,...nj->...ni", R, pts3d)[..., 2] + t[..., 2][..., None]
+        mean_z = jnp.sum(z * weights, axis=-1) / jnp.maximum(jnp.sum(weights, axis=-1), _EPS)
+        return R, t, mean_z
+
+    # The DLT solution has projective sign ambiguity; pick the sign that puts
+    # the (weighted) points in front of the camera.
+    R_p, t_p, z_p = decompose(P)
+    R_n, t_n, z_n = decompose(-P)
+    front = z_p >= z_n
+    R = jnp.where(front[..., None, None], R_p, R_n)
+    t = jnp.where(front[..., None], t_p, t_n)
+    return R, t
+
+
+def _gn_step(rvec, t, pts3d, pts2d, K, w):
+    """One damped Gauss-Newton step on masked reprojection residuals."""
+
+    def residual(params):
+        rv, tt = params[:3], params[3:]
+        proj, _ = project(pts3d, rodrigues(rv), tt, K)
+        return ((proj - pts2d) * w[:, None]).reshape(-1)
+
+    params = jnp.concatenate([rvec, t])
+    J = jax.jacfwd(residual)(params)  # (2N, 6)
+    r = residual(params)
+    JtJ = J.T @ J + 1e-6 * jnp.eye(6, dtype=J.dtype)
+    delta = jnp.linalg.solve(JtJ, J.T @ r)
+    return params - delta
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def refine_pose_gn(R, t, pts3d, pts2d, K, weights, iters: int = 10):
+    """Gauss-Newton refinement of (R, t) on weighted reprojection error."""
+    rvec = rotation_to_rvec(R)
+
+    def body(_, params):
+        return _gn_step(params[:3], params[3:], pts3d, pts2d, K, weights)
+
+    params = jax.lax.fori_loop(0, iters, body, jnp.concatenate([rvec, t]))
+    return rodrigues(params[:3]), params[3:]
+
+
+@partial(jax.jit, static_argnames=("iters", "refine_iters"))
+def pnp_ransac(
+    key,
+    pts3d,
+    pts2d,
+    valid,
+    K,
+    iters: int = 1024,
+    threshold: float = 8.0,
+    min_inliers: int = 15,
+    refine_iters: int = 10,
+):
+    """Robust camera registration from padded 2D-3D correspondences.
+
+    pts3d: (N, 3); pts2d: (N, 2) pixels; valid: (N,) bool; K: (3, 3).
+    Returns dict with R (3,3), t (3,), inliers (N,), num_inliers, ok.
+    ``ok`` enforces the reference's gates: >= ``min_inliers`` consensus
+    (ref PNP_MIN_INLIERS = 15, sfm_reconstruction.py:18, :250).
+    """
+    pts3d = jnp.asarray(pts3d, jnp.float32)
+    pts2d = jnp.asarray(pts2d, jnp.float32)
+    valid = jnp.asarray(valid, bool)
+    K = jnp.asarray(K, jnp.float32)
+
+    Kinv = jnp.linalg.inv(K)
+    ones = jnp.ones_like(pts2d[..., :1])
+    pn = (jnp.concatenate([pts2d, ones], axis=-1) @ Kinv.T)[..., :2]
+
+    idx = ransac_sample_indices(key, valid, iters, 6)
+    s3 = pts3d[idx]   # (iters, 6, 3)
+    s2 = pn[idx]      # (iters, 6, 2)
+    Rs, ts = jax.vmap(pnp_dlt)(s3, s2)
+
+    proj, depth = jax.vmap(project, in_axes=(None, 0, 0, None))(pts3d, Rs, ts, K)
+    errors = jnp.linalg.norm(proj - pts2d[None], axis=-1)
+    errors = jnp.where(depth > 0, errors, jnp.inf)  # behind-camera = outlier
+    _, best_inliers, _ = ransac_select(errors, valid, threshold)
+
+    # Polish on the consensus set, then re-derive the final inlier set.
+    w = best_inliers.astype(jnp.float32)
+    R0, t0 = pnp_dlt(pts3d, pn, w)
+    R, t = refine_pose_gn(R0, t0, pts3d, pts2d, K, w, iters=refine_iters)
+
+    proj_f, depth_f = project(pts3d, R, t, K)
+    err_f = jnp.linalg.norm(proj_f - pts2d, axis=-1)
+    inliers = (err_f < threshold) & (depth_f > 0) & valid
+    num = jnp.sum(inliers).astype(jnp.int32)
+    ok = num >= min_inliers
+    return {
+        "R": R,
+        "t": t,
+        "inliers": inliers,
+        "num_inliers": num,
+        "errors": err_f,
+        "ok": ok,
+    }

@@ -1,0 +1,163 @@
+"""RANSAC estimator tests on synthetic scenes with known ground truth and
+injected outliers (the reference has no tests — SURVEY.md section 4)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from sfm_tpu.geometry import (
+    project,
+    camera_matrix,
+    fundamental_from_essential,
+    essential_from_fundamental,
+    recover_pose,
+    skew,
+)
+from sfm_tpu.estimators import (
+    estimate_fundamental_ransac,
+    pnp_dlt,
+    pnp_ransac,
+    refine_pose_gn,
+)
+from sfm_tpu.estimators.ransac import ransac_sample_indices
+
+
+K = np.array([[1228.0, 0, 512.0], [0, 1228.0, 384.0], [0, 0, 1.0]], dtype=np.float32)
+
+
+def synth_two_view(rng, n=200, noise=0.0, outlier_frac=0.0):
+    """Random scene seen by identity cam and a rotated+translated cam."""
+    from scipy.spatial.transform import Rotation
+
+    pts3d = rng.uniform(low=[-2, -2, 4], high=[2, 2, 8], size=(n, 3)).astype(np.float32)
+    R = Rotation.from_rotvec([0.05, 0.3, 0.02]).as_matrix().astype(np.float32)
+    t = np.array([0.8, 0.05, 0.1], dtype=np.float32)
+    p1, _ = project(pts3d, np.eye(3, dtype=np.float32), np.zeros(3, np.float32), K)
+    p2, _ = project(pts3d, R, t, K)
+    p1 = np.asarray(p1) + rng.normal(scale=noise, size=(n, 2))
+    p2 = np.asarray(p2) + rng.normal(scale=noise, size=(n, 2))
+    n_out = int(n * outlier_frac)
+    if n_out:
+        idx = rng.choice(n, n_out, replace=False)
+        p2[idx] = rng.uniform(low=0, high=[1024, 768], size=(n_out, 2))
+    else:
+        idx = np.array([], dtype=int)
+    return pts3d, p1.astype(np.float32), p2.astype(np.float32), R, t, idx
+
+
+class TestSampling:
+    def test_samples_are_valid_and_distinct(self, rng):
+        valid = np.zeros(100, dtype=bool)
+        valid[10:40] = True
+        idx = np.asarray(ransac_sample_indices(jax.random.key(0), jnp.asarray(valid), 64, 8))
+        assert idx.shape == (64, 8)
+        assert valid[idx].all()
+        for row in idx:
+            assert len(set(row.tolist())) == 8
+
+    def test_sampling_covers_valid_set(self, rng):
+        valid = np.ones(50, dtype=bool)
+        idx = np.asarray(ransac_sample_indices(jax.random.key(1), jnp.asarray(valid), 512, 8))
+        assert len(np.unique(idx)) == 50  # every row gets sampled eventually
+
+
+class TestFundamentalRansac:
+    def test_clean_data_recovers_f(self, rng):
+        pts3d, p1, p2, R, t, _ = synth_two_view(rng, n=120)
+        valid = np.ones(120, dtype=bool)
+        out = estimate_fundamental_ransac(jax.random.key(0), p1, p2, valid, iters=512)
+        assert bool(out["ok"])
+        assert int(out["num_inliers"]) >= 115
+        # Compare with ground-truth F = K^-T [t]x R K^-1.
+        E_gt = np.asarray(skew(t)) @ R
+        F_gt = np.asarray(fundamental_from_essential(E_gt, K))
+        F = np.asarray(out["F"])
+        F_gt = F_gt / np.linalg.norm(F_gt)
+        cos = abs(np.sum(F * F_gt))
+        assert cos > 0.999
+
+    def test_outliers_rejected(self, rng):
+        pts3d, p1, p2, R, t, out_idx = synth_two_view(rng, n=200, noise=0.3, outlier_frac=0.3)
+        valid = np.ones(200, dtype=bool)
+        out = estimate_fundamental_ransac(jax.random.key(1), p1, p2, valid, iters=2048)
+        inl = np.asarray(out["inliers"])
+        # The vast majority of injected outliers must be excluded.
+        assert inl[out_idx].sum() <= 3
+        assert inl.sum() >= 120
+
+    def test_padding_mask_respected(self, rng):
+        pts3d, p1, p2, *_ = synth_two_view(rng, n=64)
+        p1p = np.concatenate([p1, np.zeros((64, 2), np.float32)])
+        p2p = np.concatenate([p2, np.zeros((64, 2), np.float32)])
+        valid = np.concatenate([np.ones(64, bool), np.zeros(64, bool)])
+        out = estimate_fundamental_ransac(jax.random.key(2), p1p, p2p, valid, iters=512)
+        assert not np.asarray(out["inliers"])[64:].any()
+        assert int(out["num_inliers"]) >= 60
+
+    def test_too_few_points_flagged(self, rng):
+        p = rng.uniform(size=(16, 2)).astype(np.float32)
+        valid = np.zeros(16, dtype=bool)
+        valid[:5] = True
+        out = estimate_fundamental_ransac(jax.random.key(3), p, p, valid, iters=64)
+        assert not bool(out["ok"])
+        assert int(out["num_inliers"]) == 0
+
+
+class TestPnP:
+    def test_dlt_exact(self, rng):
+        pts3d, p1, p2, R, t, _ = synth_two_view(rng, n=32)
+        Kinv = np.linalg.inv(K)
+        pn = (np.concatenate([p2, np.ones((32, 1), np.float32)], axis=1) @ Kinv.T)[:, :2]
+        R_est, t_est = pnp_dlt(pts3d, pn.astype(np.float32))
+        np.testing.assert_allclose(np.asarray(R_est), R, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(t_est), t, atol=1e-2)
+
+    def test_ransac_with_outliers(self, rng):
+        pts3d, p1, p2, R, t, out_idx = synth_two_view(rng, n=150, noise=0.5, outlier_frac=0.25)
+        valid = np.ones(150, dtype=bool)
+        out = pnp_ransac(jax.random.key(0), pts3d, p2, valid, K, iters=1024, threshold=8.0)
+        assert bool(out["ok"])
+        assert np.asarray(out["inliers"])[out_idx].sum() <= 2
+        np.testing.assert_allclose(np.asarray(out["R"]), R, atol=5e-3)
+        np.testing.assert_allclose(np.asarray(out["t"]), t, atol=5e-2)
+
+    def test_min_inlier_gate(self, rng):
+        # Pure-noise correspondences must fail the >= 15 inlier gate.
+        pts3d = rng.uniform(low=-1, high=1, size=(60, 3)).astype(np.float32)
+        p2 = rng.uniform(low=0, high=[1024, 768], size=(60, 2)).astype(np.float32)
+        valid = np.ones(60, dtype=bool)
+        out = pnp_ransac(jax.random.key(1), pts3d, p2, valid, K, iters=256, threshold=2.0)
+        assert not bool(out["ok"])
+
+    def test_gn_refinement_improves(self, rng):
+        pts3d, p1, p2, R, t, _ = synth_two_view(rng, n=64, noise=0.2)
+        # Perturb the pose and let GN pull it back.
+        from scipy.spatial.transform import Rotation
+
+        R0 = (Rotation.from_rotvec([0.02, -0.01, 0.015]).as_matrix() @ R).astype(np.float32)
+        t0 = t + np.array([0.05, -0.03, 0.02], np.float32)
+        w = np.ones(64, np.float32)
+        R_ref, t_ref = refine_pose_gn(R0, t0, pts3d, p2, K, w, iters=15)
+        proj0, _ = project(pts3d, R0, t0, K)
+        proj1, _ = project(pts3d, np.asarray(R_ref), np.asarray(t_ref), K)
+        e0 = np.linalg.norm(np.asarray(proj0) - p2, axis=1).mean()
+        e1 = np.linalg.norm(np.asarray(proj1) - p2, axis=1).mean()
+        assert e1 < e0 * 0.2
+        assert e1 < 0.5
+
+
+class TestVmappedPairSweep:
+    def test_vmap_over_pairs(self, rng):
+        """The shape contract that the sharded all-pairs sweep relies on."""
+        batches = []
+        for i in range(4):
+            pts3d, p1, p2, *_ = synth_two_view(rng, n=100, noise=0.2, outlier_frac=0.2)
+            batches.append((p1, p2))
+        P1 = jnp.stack([b[0] for b in batches])
+        P2 = jnp.stack([b[1] for b in batches])
+        V = jnp.ones((4, 100), bool)
+        keys = jax.random.split(jax.random.key(7), 4)
+        out = jax.vmap(
+            lambda k, a, b, v: estimate_fundamental_ransac(k, a, b, v, iters=512)
+        )(keys, P1, P2, V)
+        assert out["F"].shape == (4, 3, 3)
+        assert (np.asarray(out["num_inliers"]) >= 70).all()
