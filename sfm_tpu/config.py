@@ -26,7 +26,8 @@ class FeatureConfig:
     scales_per_octave: int = 3
     sigma0: float = 1.6                # base blur of octave 0, scale 0
     assumed_blur: float = 0.5          # blur assumed present in the input image
-    contrast_threshold: float = 0.015  # DoG |response| gate (OpenCV uses 0.04/n)
+    contrast_threshold: float = 0.006  # DoG |response| gate (OpenCV uses 0.04/n;
+                                       # tuned down for the low-texture bunny set)
     edge_threshold: float = 10.0       # Hessian edge ratio gate (SIFT standard)
     descriptor_width: int = 4          # 4x4 spatial bins
     descriptor_bins: int = 8           # 8 orientation bins -> 128-D

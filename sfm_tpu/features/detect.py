@@ -1,0 +1,138 @@
+"""Scale-space extremum detection + subpixel refinement, full-grid style.
+
+Instead of the reference's per-keypoint Python/OpenCV control flow
+(ref find_matches.py:74-118), every candidate test runs on the whole DoG grid
+at once: 26-neighbor extremum tests are shifted comparisons, the 3x3 subpixel
+system is solved in closed form (adjugate) at every pixel, and the survivors
+are selected by a single top-k on the masked response map. No data-dependent
+shapes anywhere.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_EPS = 1e-12
+
+
+def _shift2d(x, dy, dx):
+    """Shift a (..., H, W) array, zero-filling the border."""
+    return jnp.roll(x, (dy, dx), axis=(-2, -1))
+
+
+def dog_extrema_scores(dog, contrast_threshold: float, edge_threshold: float):
+    """Score every interior pixel of a DoG stack as a keypoint candidate.
+
+    dog: (S+2, h, w). Returns dict of (S, h, w) grids (for interior layers
+    1..S): ``score`` (|refined contrast|, 0 where rejected), ``off`` (3,
+    offsets dx, dy, ds), each already gated on extremality, contrast, edge
+    response, and offset convergence.
+    """
+    D = dog
+    S = D.shape[0] - 2
+    center = D[1:-1]  # (S, h, w)
+
+    # --- 26-neighbor extremum test (vectorized shifts) ---------------------
+    is_max = jnp.ones_like(center, dtype=bool)
+    is_min = jnp.ones_like(center, dtype=bool)
+    for ds in (-1, 0, 1):
+        layer = D[1 + ds : D.shape[0] - 1 + ds]  # aligned (S, h, w)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if ds == 0 and dy == 0 and dx == 0:
+                    continue
+                nb = _shift2d(layer, dy, dx)
+                is_max &= center > nb
+                is_min &= center < nb
+    extremum = is_max | is_min
+
+    # --- derivatives (central differences on the stack) --------------------
+    gx = 0.5 * (_shift2d(center, 0, -1) - _shift2d(center, 0, 1))
+    gy = 0.5 * (_shift2d(center, -1, 0) - _shift2d(center, 1, 0))
+    gs = 0.5 * (D[2:] - D[:-2])
+    dxx = _shift2d(center, 0, -1) + _shift2d(center, 0, 1) - 2 * center
+    dyy = _shift2d(center, -1, 0) + _shift2d(center, 1, 0) - 2 * center
+    dss = D[2:] + D[:-2] - 2 * center
+    dxy = 0.25 * (
+        _shift2d(center, -1, -1) + _shift2d(center, 1, 1)
+        - _shift2d(center, -1, 1) - _shift2d(center, 1, -1)
+    )
+    dxs = 0.25 * (
+        _shift2d(D[2:], 0, -1) - _shift2d(D[2:], 0, 1)
+        - _shift2d(D[:-2], 0, -1) + _shift2d(D[:-2], 0, 1)
+    )
+    dys = 0.25 * (
+        _shift2d(D[2:], -1, 0) - _shift2d(D[2:], 1, 0)
+        - _shift2d(D[:-2], -1, 0) + _shift2d(D[:-2], 1, 0)
+    )
+
+    # --- closed-form solve of H @ off = -g (3x3 adjugate) ------------------
+    #     H = [[dxx, dxy, dxs], [dxy, dyy, dys], [dxs, dys, dss]]
+    det = (
+        dxx * (dyy * dss - dys * dys)
+        - dxy * (dxy * dss - dys * dxs)
+        + dxs * (dxy * dys - dyy * dxs)
+    )
+    inv_det = jnp.where(jnp.abs(det) < _EPS, 0.0, 1.0 / jnp.where(jnp.abs(det) < _EPS, 1.0, det))
+    a00 = dyy * dss - dys * dys
+    a01 = dxs * dys - dxy * dss
+    a02 = dxy * dys - dxs * dyy
+    a11 = dxx * dss - dxs * dxs
+    a12 = dxy * dxs - dxx * dys
+    a22 = dxx * dyy - dxy * dxy
+    off_x = -(a00 * gx + a01 * gy + a02 * gs) * inv_det
+    off_y = -(a01 * gx + a11 * gy + a12 * gs) * inv_det
+    off_s = -(a02 * gx + a12 * gy + a22 * gs) * inv_det
+
+    refined = center + 0.5 * (gx * off_x + gy * off_y + gs * off_s)
+
+    # --- gates -------------------------------------------------------------
+    converged = (
+        (jnp.abs(off_x) < 0.6) & (jnp.abs(off_y) < 0.6) & (jnp.abs(off_s) < 0.6)
+    )
+    contrast_ok = jnp.abs(refined) >= contrast_threshold
+    tr = dxx + dyy
+    det2 = dxx * dyy - dxy * dxy
+    r = edge_threshold
+    edge_ok = (det2 > 0) & (tr * tr * r < (r + 1.0) ** 2 * det2)
+
+    h, w = center.shape[-2:]
+    yy = jnp.arange(h)[None, :, None]
+    xx = jnp.arange(w)[None, None, :]
+    border = 5
+    in_bounds = (yy >= border) & (yy < h - border) & (xx >= border) & (xx < w - border)
+
+    good = extremum & converged & contrast_ok & edge_ok & in_bounds
+    score = jnp.where(good, jnp.abs(refined), 0.0)
+    return {
+        "score": score,
+        "off_x": off_x,
+        "off_y": off_y,
+        "off_s": off_s,
+    }
+
+
+def select_octave_candidates(fields, budget: int):
+    """Top-``budget`` candidates of one octave by refined-contrast score.
+
+    Returns per-candidate arrays: layer (int, 1-based interior DoG layer),
+    y, x (int grid coords), offsets, score; score == 0 marks padding.
+    """
+    score = fields["score"]
+    S, h, w = score.shape
+    flat = score.reshape(-1)
+    top, idx = jax.lax.top_k(flat, budget)
+    layer = idx // (h * w)
+    rem = idx % (h * w)
+    y = rem // w
+    x = rem % w
+    take = lambda f: f.reshape(-1)[idx]
+    return {
+        "layer": (layer + 1).astype(jnp.int32),  # DoG interior layer index
+        "y": y.astype(jnp.int32),
+        "x": x.astype(jnp.int32),
+        "off_x": take(fields["off_x"]),
+        "off_y": take(fields["off_y"]),
+        "off_s": take(fields["off_s"]),
+        "score": top,
+    }

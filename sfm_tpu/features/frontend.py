@@ -1,0 +1,135 @@
+"""The full feature frontend: image -> fixed-K keypoints + descriptors.
+
+One jitted program per image geometry: pyramid (convs) -> grid extrema ->
+per-octave top-k -> orientation + descriptor (vmapped gathers + einsum) ->
+global top-k to the fixed keypoint budget. Returns padded arrays + validity
+mask so the all-pairs matcher downstream has fully static shapes.
+
+Silhouette-mask gating follows the reference (find_matches.py:120-137): a
+keypoint is kept only if the mask is foreground at its location.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from sfm_tpu.config import FeatureConfig
+from sfm_tpu.features.pyramid import build_pyramid
+from sfm_tpu.features.detect import dog_extrema_scores, select_octave_candidates
+from sfm_tpu.features.descriptor import (
+    octave_gradients,
+    keypoint_orientation,
+    keypoint_descriptor,
+)
+
+
+class Features(NamedTuple):
+    """Padded per-image features. Invalid rows are zeroed."""
+
+    xy: jnp.ndarray        # (K, 2) full-resolution pixel coords
+    sigma: jnp.ndarray     # (K,)
+    angle: jnp.ndarray     # (K,)
+    response: jnp.ndarray  # (K,) |refined DoG contrast|
+    desc: jnp.ndarray      # (K, 128) unit-norm
+    valid: jnp.ndarray     # (K,) bool
+
+
+def _octave_budget(max_keypoints: int, octave: int) -> int:
+    return max(max_keypoints >> octave, 256)
+
+
+@partial(jax.jit, static_argnames=("config", "has_mask"))
+def _detect_impl(image, mask, config: FeatureConfig, has_mask: bool) -> Features:
+    S = config.scales_per_octave
+    gaussians, dogs = build_pyramid(
+        image,
+        num_octaves=config.num_octaves,
+        scales_per_octave=S,
+        sigma0=config.sigma0,
+        assumed_blur=config.assumed_blur,
+    )
+
+    per_octave = []
+    for o in range(config.num_octaves):
+        fields = dog_extrema_scores(
+            dogs[o], config.contrast_threshold, config.edge_threshold
+        )
+        cands = select_octave_candidates(fields, _octave_budget(config.max_keypoints, o))
+        gx, gy = octave_gradients(gaussians[o])
+
+        layer = cands["layer"]                        # 1..S (DoG interior)
+        grad_idx = layer - 1
+        x_o = cands["x"].astype(jnp.float32) + cands["off_x"]
+        y_o = cands["y"].astype(jnp.float32) + cands["off_y"]
+        sigma_rel = config.sigma0 * jnp.power(
+            2.0, (layer.astype(jnp.float32) + cands["off_s"]) / S
+        )
+
+        angle = jax.vmap(
+            lambda xx, yy, ll, ss: keypoint_orientation(gx, gy, xx, yy, ll, ss)
+        )(x_o, y_o, grad_idx, sigma_rel)
+        desc = jax.vmap(
+            lambda xx, yy, ll, ss, aa: keypoint_descriptor(
+                gx, gy, xx, yy, ll, ss, aa,
+                descriptor_scale=config.descriptor_scale,
+                clip=config.descriptor_clip,
+            )
+        )(x_o, y_o, grad_idx, sigma_rel, angle)
+
+        scale = float(1 << o)
+        per_octave.append(
+            {
+                "xy": jnp.stack([x_o * scale, y_o * scale], axis=-1),
+                "sigma": sigma_rel * scale,
+                "angle": angle,
+                "response": cands["score"],
+                "desc": desc,
+            }
+        )
+
+    xy = jnp.concatenate([p["xy"] for p in per_octave])
+    sigma = jnp.concatenate([p["sigma"] for p in per_octave])
+    angle = jnp.concatenate([p["angle"] for p in per_octave])
+    response = jnp.concatenate([p["response"] for p in per_octave])
+    desc = jnp.concatenate([p["desc"] for p in per_octave])
+    valid = response > 0
+
+    if has_mask:
+        h, w = image.shape
+        xi = jnp.clip(jnp.round(xy[:, 0]).astype(jnp.int32), 0, w - 1)
+        yi = jnp.clip(jnp.round(xy[:, 1]).astype(jnp.int32), 0, h - 1)
+        valid = valid & mask[yi, xi]
+
+    # Global top-k by response among valid candidates.
+    score = jnp.where(valid, response, -1.0)
+    _, idx = jax.lax.top_k(score, config.max_keypoints)
+    sel = lambda a: a[idx]
+    valid = sel(valid) & (sel(score) > 0)
+    zero = lambda a: jnp.where(
+        valid.reshape(valid.shape + (1,) * (a.ndim - 1)), a, 0
+    )
+    return Features(
+        xy=zero(sel(xy)),
+        sigma=zero(sel(sigma)),
+        angle=zero(sel(angle)),
+        response=zero(sel(response)),
+        desc=zero(sel(desc)),
+        valid=valid,
+    )
+
+
+def detect_and_describe(
+    image, mask: Optional[jnp.ndarray] = None, config: FeatureConfig = FeatureConfig()
+) -> Features:
+    """Detect SIFT-class features on a (H, W) float32 [0,1] image.
+
+    ``mask``: optional (H, W) bool foreground mask (True = keep keypoints).
+    """
+    image = jnp.asarray(image, jnp.float32)
+    has_mask = mask is not None
+    if mask is None:
+        mask = jnp.ones((1, 1), dtype=bool)  # placeholder, unused
+    return _detect_impl(image, jnp.asarray(mask, bool), config, has_mask)

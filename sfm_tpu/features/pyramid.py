@@ -1,0 +1,81 @@
+"""Gaussian scale-space pyramid as separable convolutions.
+
+Each octave holds S+3 Gaussian images built by *incremental* blurs (blur the
+previous layer by sqrt(sig_i^2 - sig_{i-1}^2)) and S+2 DoG layers. Octave
+downsampling takes every second pixel of the layer with 2x the base sigma —
+the standard SIFT construction, expressed so every op is a fixed-shape conv
+XLA can fuse and tile.
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def _gaussian_kernel1d(sigma: float, radius: int) -> jnp.ndarray:
+    x = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    k = jnp.exp(-0.5 * (x / sigma) ** 2)
+    return k / jnp.sum(k)
+
+
+def gaussian_blur(img: jnp.ndarray, sigma: float) -> jnp.ndarray:
+    """Separable Gaussian blur of a (H, W) float32 image, SAME padding.
+
+    ``sigma`` is a Python float (static): the kernel is baked at trace time.
+    """
+    if sigma <= 0:
+        return img
+    radius = max(1, int(math.ceil(3.0 * sigma)))
+    k = _gaussian_kernel1d(sigma, radius)
+    # Rows then columns, via conv_general_dilated on NCHW with 1 channel.
+    x = img[None, None, :, :]
+    kh = k[None, None, None, :]
+    x = jax.lax.conv_general_dilated(x, kh, (1, 1), [(0, 0), (radius, radius)])
+    kv = k[None, None, :, None]
+    x = jax.lax.conv_general_dilated(x, kv, (1, 1), [(radius, radius), (0, 0)])
+    return x[0, 0]
+
+
+def layer_sigmas(num_layers: int, sigma0: float, scales_per_octave: int):
+    """Absolute blur of each layer within an octave (octave-relative units)."""
+    k = 2.0 ** (1.0 / scales_per_octave)
+    return [sigma0 * (k**i) for i in range(num_layers)]
+
+
+@partial(jax.jit, static_argnames=("num_octaves", "scales_per_octave", "sigma0", "assumed_blur"))
+def build_pyramid(
+    image: jnp.ndarray,
+    num_octaves: int = 4,
+    scales_per_octave: int = 3,
+    sigma0: float = 1.6,
+    assumed_blur: float = 0.5,
+):
+    """(H, W) float32 in [0,1] -> (gaussians, dogs).
+
+    gaussians: list of per-octave (S+3, h_o, w_o) stacks;
+    dogs:      list of per-octave (S+2, h_o, w_o) stacks.
+    Octave o has resolution (H >> o, W >> o).
+    """
+    S = scales_per_octave
+    sigmas = layer_sigmas(S + 3, sigma0, S)
+
+    # Bring the input up to sigma0.
+    base_extra = math.sqrt(max(sigma0**2 - assumed_blur**2, 1e-8))
+    base = gaussian_blur(image.astype(jnp.float32), base_extra)
+
+    gaussians = []
+    dogs = []
+    for o in range(num_octaves):
+        layers = [base]
+        for i in range(1, S + 3):
+            inc = math.sqrt(max(sigmas[i] ** 2 - sigmas[i - 1] ** 2, 1e-8))
+            layers.append(gaussian_blur(layers[-1], inc))
+        g = jnp.stack(layers)
+        gaussians.append(g)
+        dogs.append(g[1:] - g[:-1])
+        # Next octave base: the layer with blur 2*sigma0, subsampled 2x.
+        base = layers[S][::2, ::2]
+    return gaussians, dogs

