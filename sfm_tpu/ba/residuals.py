@@ -1,0 +1,72 @@
+"""Per-observation residuals, analytic Jacobians, and Huber IRLS weights.
+
+The residual is the 2-vector pixel reprojection error of one observation as a
+function of (camera rvec+t, shared intrinsics, point). Jacobians come from
+vmapped jax.jacfwd on that function — exact to machine precision, at a cost
+of 13 forward-mode passes per observation, all fused by XLA across the
+observation batch (contrast: the reference finite-differences a *dense*
+(2·obs+4·cams) x (10·cams+3·points) Jacobian, sfm_reconstruction.py:506-514).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from sfm_tpu.geometry.rotations import rodrigues
+
+_EPS = 1e-12
+
+
+def residual_one(rvec, tvec, intr, point, xy):
+    """Reprojection residual (2,) of one observation."""
+    R = rodrigues(rvec)
+    xc = R @ point + tvec
+    z = jnp.where(jnp.abs(xc[2]) < _EPS, _EPS, xc[2])
+    fx, fy, cx, cy = intr[0], intr[1], intr[2], intr[3]
+    u = fx * xc[0] / z + cx
+    v = fy * xc[1] / z + cy
+    return jnp.stack([u, v]) - xy
+
+
+# Batched residuals + Jacobians. Output shapes:
+#   r   (O, 2)
+#   J_c (O, 2, 6)   d r / d (rvec, t)
+#   J_k (O, 2, 4)   d r / d intr
+#   J_p (O, 2, 3)   d r / d point
+def _res_packed(camp, intr, point, xy):
+    return residual_one(camp[:3], camp[3:], intr, point, xy)
+
+
+_jac = jax.jacfwd(_res_packed, argnums=(0, 1, 2))
+
+
+def residuals_and_jacobians(problem_arrays):
+    """Compute r, J_c, J_k, J_p for every observation row (masked later)."""
+    rvec, tvec, intr, points, obs_cam, obs_point, obs_xy = problem_arrays
+    camp = jnp.concatenate([rvec, tvec], axis=-1)        # (C, 6)
+    cam_o = camp[obs_cam]                                # (O, 6)
+    pt_o = points[obs_point]                             # (O, 3)
+
+    r = jax.vmap(_res_packed, in_axes=(0, None, 0, 0))(cam_o, intr, pt_o, obs_xy)
+    J_c, J_k, J_p = jax.vmap(_jac, in_axes=(0, None, 0, 0))(cam_o, intr, pt_o, obs_xy)
+    return r, J_c, J_k, J_p
+
+
+def huber_weights(r, delta: float):
+    """IRLS weights for the Huber loss on the 2-norm of each residual.
+
+    w = 1 inside |r| <= delta, delta/|r| outside; applied as sqrt(w) to both
+    J and r so the weighted normal equations implement the robust step.
+    """
+    norm = jnp.linalg.norm(r, axis=-1)
+    w = jnp.where(norm <= delta, 1.0, delta / jnp.maximum(norm, _EPS))
+    return w
+
+
+def huber_cost(r, valid, delta: float):
+    """Total Huber cost (the LM accept/reject metric)."""
+    norm = jnp.linalg.norm(r, axis=-1)
+    quad = 0.5 * norm**2
+    lin = delta * (norm - 0.5 * delta)
+    c = jnp.where(norm <= delta, quad, lin)
+    return jnp.sum(jnp.where(valid, c, 0.0))

@@ -1,0 +1,166 @@
+"""Matrix-free Schur-complement system + block-Jacobi PCG.
+
+The reduced (camera + shared-intrinsics) system is never materialized: one
+S-matvec is ~6 segment-sum passes over the flat observation table, each O(obs)
+work — this is what makes BA scale to thousands of cameras on device, and it
+shards naturally over the observation axis (psum the segment reductions).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+_EPS = 1e-10
+
+
+class SchurOperator(NamedTuple):
+    """Everything needed to apply S and the preconditioner (all whitened)."""
+
+    Jc: jnp.ndarray        # (O, 2, 6) — zeroed for fixed/invalid cams & obs
+    Jk: jnp.ndarray        # (O, 2, 4) — zeroed if intrinsics frozen
+    Jp: jnp.ndarray        # (O, 2, 3) — zeroed for invalid points & obs
+    obs_cam: jnp.ndarray   # (O,)
+    obs_point: jnp.ndarray # (O,)
+    Vinv: jnp.ndarray      # (P, 3, 3) damped inverse point blocks
+    lam_diag_c: jnp.ndarray  # (C, 6) LM damping diagonal for cameras
+    lam_diag_k: jnp.ndarray  # (4,)
+    unit_c: jnp.ndarray    # (C,) 1.0 where the camera has no free params
+    Hreg_k: jnp.ndarray    # (4, 4) intrinsics regularization hessian
+    Mc: jnp.ndarray        # (C, 6, 6) block-Jacobi preconditioner (inverted)
+    Mk: jnp.ndarray        # (4, 4)
+
+
+def _seg_sum(values, seg_ids, num_segments):
+    return jax.ops.segment_sum(values, seg_ids, num_segments=num_segments)
+
+
+def build_operator(
+    Jc, Jk, Jp, r, w, obs_cam, obs_point, obs_valid,
+    cam_free, point_valid, lam, Hreg_k, num_cameras, num_points,
+):
+    """Whiten Jacobians, build damped point-block inverses + preconditioner.
+
+    Returns (op: SchurOperator, rhs_c (C,6), rhs_k (4,), g_p (P,3)).
+    cam_free: (C,) float — 1.0 for cameras whose pose is optimized.
+    """
+    sw = jnp.sqrt(w * obs_valid)[:, None]                 # (O, 1)
+    free_o = cam_free[obs_cam][:, None]
+    pv_o = point_valid[obs_point].astype(jnp.float32)[:, None]
+    Jc = Jc * (sw * free_o)[..., None]
+    Jk = Jk * sw[..., None]
+    Jp = Jp * (sw * pv_o)[..., None]
+    rw = r * sw
+
+    # Point blocks V and damped inverses.
+    V = _seg_sum(jnp.einsum("oci,ocj->oij", Jp, Jp), obs_point, num_points)
+    diagV = jnp.diagonal(V, axis1=-2, axis2=-1)
+    Vd = V + (lam * diagV + _EPS)[..., None] * jnp.eye(3)
+    Vinv = jnp.linalg.inv(Vd)
+    Vinv = jnp.where(point_valid[:, None, None], Vinv, 0.0)
+
+    # Camera blocks (for damping diagonal + preconditioner).
+    U = _seg_sum(jnp.einsum("oci,ocj->oij", Jc, Jc), obs_cam, num_cameras)
+    diagU = jnp.diagonal(U, axis1=-2, axis2=-1)           # (C, 6)
+    lam_diag_c = lam * diagU
+    unit_c = (jnp.sum(diagU, axis=-1) <= _EPS).astype(jnp.float32)
+
+    Uk = jnp.einsum("oci,ocj->ij", Jk, Jk) + Hreg_k
+    diagUk = jnp.diagonal(Uk)
+    lam_diag_k = lam * diagUk + _EPS
+
+    # Preconditioner: inverse of the damped diagonal blocks.
+    Ud = U + (lam_diag_c[..., None] * jnp.eye(6)) + unit_c[:, None, None] * jnp.eye(6)
+    Mc = jnp.linalg.inv(Ud + _EPS * jnp.eye(6))
+    Mk = jnp.linalg.inv(Uk + jnp.diag(lam_diag_k) + _EPS * jnp.eye(4))
+
+    # Gradients (rhs of the normal equations is -g; we solve S x = rhs).
+    g_c = _seg_sum(jnp.einsum("oci,oc->oi", Jc, rw), obs_cam, num_cameras)
+    g_k = jnp.einsum("oci,oc->i", Jk, rw)
+    g_p = _seg_sum(jnp.einsum("oci,oc->oi", Jp, rw), obs_point, num_points)
+
+    # rhs_reduced = -g_c + W Vinv g_p   (and the k analogue).
+    h_p = jnp.einsum("pij,pj->pi", Vinv, g_p)             # (P, 3)
+    y_o = jnp.einsum("oci,oi->oc", Jp, h_p[obs_point])    # (O, 2)
+    rhs_c = -g_c + _seg_sum(jnp.einsum("oci,oc->oi", Jc, y_o), obs_cam, num_cameras)
+    rhs_k = -g_k + jnp.einsum("oci,oc->i", Jk, y_o)
+
+    op = SchurOperator(
+        Jc=Jc, Jk=Jk, Jp=Jp, obs_cam=obs_cam, obs_point=obs_point,
+        Vinv=Vinv, lam_diag_c=lam_diag_c, lam_diag_k=lam_diag_k,
+        unit_c=unit_c, Hreg_k=Hreg_k, Mc=Mc, Mk=Mk,
+    )
+    return op, rhs_c, rhs_k, g_p
+
+
+def schur_matvec(op: SchurOperator, xc, xk):
+    """Apply S = B^T B + lam*diag - W Vinv W^T to x = (cams (C,6), intr (4,))."""
+    C = xc.shape[0]
+    P = op.Vinv.shape[0]
+    a = jnp.einsum("oci,oi->oc", op.Jc, xc[op.obs_cam]) + jnp.einsum(
+        "oci,i->oc", op.Jk, xk
+    )                                                      # (O, 2) = B x
+    # B^T a
+    t_c = _seg_sum(jnp.einsum("oci,oc->oi", op.Jc, a), op.obs_cam, C)
+    t_k = jnp.einsum("oci,oc->i", op.Jk, a)
+    # W^T x then V^-1 then W
+    u_p = _seg_sum(jnp.einsum("oci,oc->oi", op.Jp, a), op.obs_point, P)
+    v_p = jnp.einsum("pij,pj->pi", op.Vinv, u_p)
+    z = jnp.einsum("oci,oi->oc", op.Jp, v_p[op.obs_point])  # (O, 2)
+    c_c = _seg_sum(jnp.einsum("oci,oc->oi", op.Jc, z), op.obs_cam, C)
+    c_k = jnp.einsum("oci,oc->i", op.Jk, z)
+
+    Sx_c = t_c - c_c + op.lam_diag_c * xc + op.unit_c[:, None] * xc
+    Sx_k = t_k - c_k + op.lam_diag_k * xk + op.Hreg_k @ xk
+    return Sx_c, Sx_k
+
+
+def pcg_solve(op: SchurOperator, rhs_c, rhs_k, iters: int, tol: float):
+    """Block-Jacobi preconditioned CG on the reduced system."""
+
+    def precond(rc, rk):
+        return jnp.einsum("cij,cj->ci", op.Mc, rc), op.Mk @ rk
+
+    def dot(ac, ak, bc, bk):
+        return jnp.sum(ac * bc) + jnp.sum(ak * bk)
+
+    xc = jnp.zeros_like(rhs_c)
+    xk = jnp.zeros_like(rhs_k)
+    rc, rk = rhs_c, rhs_k
+    zc, zk = precond(rc, rk)
+    pc, pk = zc, zk
+    rz = dot(rc, rk, zc, zk)
+    rhs_norm = jnp.sqrt(dot(rhs_c, rhs_k, rhs_c, rhs_k))
+
+    def body(_, state):
+        xc, xk, rc, rk, pc, pk, rz = state
+        Apc, Apk = schur_matvec(op, pc, pk)
+        pAp = dot(pc, pk, Apc, Apk)
+        alpha = jnp.where(pAp > _EPS, rz / pAp, 0.0)
+        # Freeze updates once the residual is small enough (static trip count).
+        active = jnp.sqrt(dot(rc, rk, rc, rk)) > tol * rhs_norm
+        alpha = jnp.where(active, alpha, 0.0)
+        xc = xc + alpha * pc
+        xk = xk + alpha * pk
+        rc = rc - alpha * Apc
+        rk = rk - alpha * Apk
+        zc, zk = precond(rc, rk)
+        rz_new = dot(rc, rk, zc, zk)
+        beta = jnp.where(rz > _EPS, rz_new / rz, 0.0)
+        pc = zc + beta * pc
+        pk = zk + beta * pk
+        return xc, xk, rc, rk, pc, pk, rz_new
+
+    xc, xk, *_ = jax.lax.fori_loop(0, iters, body, (xc, xk, rc, rk, pc, pk, rz))
+    return xc, xk
+
+
+def back_substitute(op: SchurOperator, g_p, xc, xk):
+    """Recover the point step: dp = Vinv (-g_p - W^T dx_cam)."""
+    P = op.Vinv.shape[0]
+    a = jnp.einsum("oci,oi->oc", op.Jc, xc[op.obs_cam]) + jnp.einsum(
+        "oci,i->oc", op.Jk, xk
+    )
+    u_p = _seg_sum(jnp.einsum("oci,oc->oi", op.Jp, a), op.obs_point, P)
+    return jnp.einsum("pij,pj->pi", op.Vinv, -g_p - u_p)

@@ -1,0 +1,273 @@
+"""Graph-guided next-best-view selection.
+
+Re-implements the reference's SfMGraphSelector (ref image_selector.py:5-218)
+on the PairTable instead of a CSV, with plain numpy instead of networkx (the
+graphs are tiny — the sequential decision logic belongs on the host,
+SURVEY.md section 7 step 5). Betweenness centrality is Brandes' algorithm.
+
+Two reference bugs are fixed deliberately:
+  * the visibility term (ref image_selector.py:134-143) never referenced the
+    candidate image, so it was constant across candidates; here it scores the
+    candidate's actual connectivity into the constructed set.
+  * visualize_graph used `logging`/`np` without importing them
+    (ref image_selector.py:175-177); ours imports what it uses.
+"""
+from __future__ import annotations
+
+from collections import deque
+from typing import Dict, Iterable, List, Sequence, Tuple
+
+import numpy as np
+
+
+class SfMGraphSelector:
+    """Undirected weighted image-connectivity graph + view scoring.
+
+    Nodes are image ids; an edge is a verified pair with attributes
+    num_matches / num_inliers / inlier_ratio / reprojection_error
+    (ref image_selector.py:22-45).
+    """
+
+    def __init__(self, records: Iterable[dict]):
+        """records: dicts with image1, image2, num_matches, num_inliers,
+        inlier_ratio, reprojection_error — `PairTable.to_records()` output or
+        rows read from a matching_results.csv."""
+        self.edges: Dict[Tuple[int, int], dict] = {}
+        nodes = set()
+        for r in records:
+            i, j = int(r["image1"]), int(r["image2"])
+            if i > j:
+                i, j = j, i
+            nodes.add(i)
+            nodes.add(j)
+            self.edges[(i, j)] = {
+                "num_matches": int(r["num_matches"]),
+                "num_inliers": int(r["num_inliers"]),
+                "inlier_ratio": float(r["inlier_ratio"]),
+                "reprojection_error": float(r["reprojection_error"]),
+            }
+        self.nodes: List[int] = sorted(nodes)
+        self._index = {n: k for k, n in enumerate(self.nodes)}
+        n = len(self.nodes)
+        self.adj: List[List[int]] = [[] for _ in range(n)]
+        for (i, j) in self.edges:
+            self.adj[self._index[i]].append(self._index[j])
+            self.adj[self._index[j]].append(self._index[i])
+
+    @classmethod
+    def from_pair_table(cls, table) -> "SfMGraphSelector":
+        return cls(table.to_records())
+
+    @classmethod
+    def from_csv(cls, path) -> "SfMGraphSelector":
+        import csv as _csv
+        from pathlib import Path
+
+        rows = []
+        with Path(path).open() as f:
+            for row in _csv.DictReader(f):
+                img1 = row.get("image1") or row.get("img1")
+                img2 = row.get("image2") or row.get("img2")
+                rows.append(
+                    {
+                        "image1": _parse_image_id(img1),
+                        "image2": _parse_image_id(img2),
+                        "num_matches": int(float(row.get("num_matches", 0))),
+                        "num_inliers": int(float(row.get("num_inliers", 0))),
+                        "inlier_ratio": float(row.get("inlier_ratio", 0.0)),
+                        "reprojection_error": float(row.get("reprojection_error", 0.0)),
+                    }
+                )
+        return cls(rows)
+
+    # -- centralities -------------------------------------------------------
+
+    def degree_centrality(self) -> np.ndarray:
+        n = len(self.nodes)
+        if n <= 1:
+            return np.zeros(n)
+        return np.array([len(a) for a in self.adj]) / (n - 1)
+
+    def betweenness_centrality(self) -> np.ndarray:
+        """Brandes' algorithm, unweighted, normalized like networkx."""
+        n = len(self.nodes)
+        bc = np.zeros(n)
+        for s in range(n):
+            stack = []
+            preds: List[List[int]] = [[] for _ in range(n)]
+            sigma = np.zeros(n)
+            sigma[s] = 1.0
+            dist = np.full(n, -1)
+            dist[s] = 0
+            q = deque([s])
+            while q:
+                v = q.popleft()
+                stack.append(v)
+                for w in self.adj[v]:
+                    if dist[w] < 0:
+                        dist[w] = dist[v] + 1
+                        q.append(w)
+                    if dist[w] == dist[v] + 1:
+                        sigma[w] += sigma[v]
+                        preds[w].append(v)
+            delta = np.zeros(n)
+            while stack:
+                w = stack.pop()
+                for v in preds[w]:
+                    delta[v] += sigma[v] / sigma[w] * (1.0 + delta[w])
+                if w != s:
+                    bc[w] += delta[w]
+        if n > 2:
+            bc /= (n - 1) * (n - 2)  # undirected pairs counted twice -> *2/2
+        return bc
+
+    def compute_node_importance(self) -> Dict[int, float]:
+        """importance = 0.4*degree + 0.3*betweenness + 0.3*norm-avg-inliers
+        (ref image_selector.py:47-77)."""
+        n = len(self.nodes)
+        deg = self.degree_centrality()
+        btw = self.betweenness_centrality()
+        avg_inl = np.zeros(n)
+        for k, node in enumerate(self.nodes):
+            vals = [
+                e["num_inliers"]
+                for (i, j), e in self.edges.items()
+                if i == node or j == node
+            ]
+            avg_inl[k] = np.mean(vals) if vals else 0.0
+        if avg_inl.max() > 0:
+            avg_inl = avg_inl / avg_inl.max()
+        scores = 0.4 * deg + 0.3 * btw + 0.3 * avg_inl
+        return {node: float(scores[k]) for k, node in enumerate(self.nodes)}
+
+    # -- next-best-view -----------------------------------------------------
+
+    def neighbors(self, node: int) -> List[int]:
+        return [self.nodes[w] for w in self.adj[self._index[node]]] if node in self._index else []
+
+    def edge(self, i: int, j: int) -> dict:
+        return self.edges[(min(i, j), max(i, j))]
+
+    def find_next_best_images(
+        self, constructed: Sequence[int], top_k: int = 5
+    ) -> List[Tuple[int, float]]:
+        """Rank unconstructed images connected to the constructed set.
+
+        score = 0.3*importance + 0.4*avg-connection-quality + 0.2*breadth
+                + 0.1*visibility  (ref image_selector.py:146-151; the
+        visibility term here actually varies with the candidate — bug fix).
+        """
+        constructed = set(int(c) for c in constructed)
+        importance = self.compute_node_importance()
+        results = []
+        for node in self.nodes:
+            if node in constructed:
+                continue
+            comps = self.score_components(node, constructed, importance)
+            if comps is None:
+                continue
+            results.append((node, comps["score"]))
+        results.sort(key=lambda x: -x[1])
+        return results[:top_k]
+
+    def score_components(self, node: int, constructed, importance=None):
+        """Per-candidate score breakdown; None if unlinked to the build."""
+        constructed = set(int(c) for c in constructed)
+        if importance is None:
+            importance = self.compute_node_importance()
+        links = [m for m in self.neighbors(node) if m in constructed]
+        if not links:
+            return None
+        max_inliers = max((e["num_inliers"] for e in self.edges.values()), default=1)
+        qualities = [
+            0.6 * self.edge(node, m)["num_inliers"] / max_inliers
+            + 0.4 * self.edge(node, m)["inlier_ratio"]
+            for m in links
+        ]
+        quality = float(np.mean(qualities))
+        breadth = len(links) / max(len(constructed), 1)
+        # Visibility: how much of the candidate's total connectivity already
+        # looks into the reconstruction (the reference computed a constant
+        # here — bug, image_selector.py:134-143).
+        total_inl = sum(self.edge(node, m)["num_inliers"] for m in self.neighbors(node))
+        seen_inl = sum(self.edge(node, m)["num_inliers"] for m in links)
+        visibility = seen_inl / total_inl if total_inl else 0.0
+        score = (
+            0.3 * importance.get(node, 0.0)
+            + 0.4 * quality
+            + 0.2 * breadth
+            + 0.1 * visibility
+        )
+        return {
+            "importance": importance.get(node, 0.0),
+            "quality": quality,
+            "breadth": breadth,
+            "visibility": visibility,
+            "score": float(score),
+        }
+
+    def find_best_seed_pair(self) -> Tuple[int, int]:
+        """Highest-inlier edge — a cheap default if pose-based seed scoring
+        (sfm_tpu.reconstruction.seed) is not used."""
+        (i, j), _ = max(self.edges.items(), key=lambda kv: kv[1]["num_inliers"])
+        return i, j
+
+    def visualize_graph(self, path, figsize=(12, 8)):
+        """Spring-layout PNG of the connectivity graph
+        (ref image_selector.py:162-218, with the NameError bugs fixed)."""
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        n = len(self.nodes)
+        pos = _spring_layout(self.adj, n, seed=0)
+        fig, ax = plt.subplots(figsize=figsize)
+        for (i, j), e in self.edges.items():
+            a, b = pos[self._index[i]], pos[self._index[j]]
+            ax.plot(
+                [a[0], b[0]], [a[1], b[1]],
+                color="steelblue",
+                alpha=0.5,
+                lw=0.5 + 2.0 * e["inlier_ratio"],
+            )
+        imp = self.compute_node_importance()
+        sizes = [300 + 1500 * imp.get(nd, 0) for nd in self.nodes]
+        ax.scatter(pos[:, 0], pos[:, 1], s=sizes, c="orange", zorder=3)
+        for k, nd in enumerate(self.nodes):
+            ax.annotate(str(nd), pos[k], ha="center", va="center", fontsize=7, zorder=4)
+        ax.set_axis_off()
+        fig.savefig(path, dpi=120, bbox_inches="tight")
+        plt.close(fig)
+
+
+def _parse_image_id(name) -> int:
+    """'0007.ppm' | '7' | 7 -> 7."""
+    s = str(name)
+    digits = "".join(ch for ch in s.split("/")[-1].split(".")[0] if ch.isdigit())
+    return int(digits) if digits else 0
+
+
+def _spring_layout(adj, n, iterations=50, seed=0):
+    """Tiny Fruchterman-Reingold layout (numpy)."""
+    rng = np.random.default_rng(seed)
+    pos = rng.uniform(-1, 1, size=(n, 2))
+    if n <= 1:
+        return pos
+    k = 1.0 / np.sqrt(n)
+    A = np.zeros((n, n), bool)
+    for v in range(n):
+        for w in adj[v]:
+            A[v, w] = True
+    t = 0.1
+    for it in range(iterations):
+        delta = pos[:, None, :] - pos[None, :, :]
+        dist = np.linalg.norm(delta, axis=-1)
+        np.fill_diagonal(dist, 1e-9)
+        rep = k * k / dist**2
+        att = np.where(A, dist / k, 0.0)
+        force = (delta / dist[..., None] * (rep - att)[..., None]).sum(axis=1)
+        norm = np.linalg.norm(force, axis=-1, keepdims=True)
+        pos += force / np.maximum(norm, 1e-9) * min(t, float(norm.max()))
+        t *= 0.95
+    return pos

@@ -1,0 +1,174 @@
+"""Bundle adjustment tests: synthetic scenes with known ground truth.
+
+Strategy (SURVEY.md section 4 implication): perturb a perfect scene, run LM,
+and require the reprojection error to collapse back to the noise floor.
+"""
+import numpy as np
+import jax.numpy as jnp
+
+from sfm_tpu.config import BAConfig
+from sfm_tpu.ba import BAProblem, run_ba
+from sfm_tpu.ba.problem import build_problem
+from sfm_tpu.geometry import project, rodrigues, rotation_to_rvec
+
+
+def make_scene(rng, n_cams=6, n_pts=120, noise_px=0.0):
+    """Cameras on an arc looking at a point cloud near the origin."""
+    from scipy.spatial.transform import Rotation
+
+    pts = rng.uniform(low=[-1, -1, -1], high=[1, 1, 1], size=(n_pts, 3)).astype(np.float32)
+    intr = np.array([1200.0, 1200.0, 512.0, 384.0], np.float32)
+    K = np.array([[1200, 0, 512], [0, 1200, 384], [0, 0, 1]], np.float32)
+
+    rvecs, tvecs = [], []
+    for c in range(n_cams):
+        ang = (c - n_cams / 2) * 0.15
+        R = Rotation.from_euler("y", ang).as_matrix().astype(np.float32)
+        # camera center on a circle of radius 6 looking at origin
+        center = np.array([6 * np.sin(ang), 0.3 * c, -6 * np.cos(ang)], np.float32)
+        t = -R @ center
+        rvecs.append(np.asarray(rotation_to_rvec(R)))
+        tvecs.append(t)
+    rvecs = np.stack(rvecs)
+    tvecs = np.stack(tvecs)
+
+    obs_cam, obs_point, obs_xy = [], [], []
+    for c in range(n_cams):
+        R = np.asarray(rodrigues(rvecs[c]))
+        proj, depth = project(pts, R, tvecs[c], K)
+        proj = np.asarray(proj)
+        vis = (np.asarray(depth) > 0) & (proj[:, 0] > 0) & (proj[:, 0] < 1024) & (proj[:, 1] > 0) & (proj[:, 1] < 768)
+        for p in np.nonzero(vis)[0]:
+            obs_cam.append(c)
+            obs_point.append(p)
+            obs_xy.append(proj[p] + rng.normal(scale=noise_px, size=2))
+    return {
+        "rvec": rvecs, "tvec": tvecs, "intr": intr, "points": pts,
+        "obs_cam": np.array(obs_cam, np.int32),
+        "obs_point": np.array(obs_point, np.int32),
+        "obs_xy": np.array(obs_xy, np.float32),
+    }
+
+
+def problem_from_scene(s, rvec=None, tvec=None, points=None, intr=None, **kw):
+    n_c = s["rvec"].shape[0]
+    n_p = s["points"].shape[0]
+    n_o = s["obs_cam"].shape[0]
+    return build_problem(
+        rvec=s["rvec"] if rvec is None else rvec,
+        tvec=s["tvec"] if tvec is None else tvec,
+        cam_valid=np.ones(n_c, bool),
+        intr=s["intr"] if intr is None else intr,
+        points=s["points"] if points is None else points,
+        point_valid=np.ones(n_p, bool),
+        obs_cam=s["obs_cam"], obs_point=s["obs_point"], obs_xy=s["obs_xy"],
+        obs_valid=np.ones(n_o, bool),
+        **kw,
+    )
+
+
+def mean_reproj_error(prob):
+    from sfm_tpu.ba.residuals import residuals_and_jacobians
+
+    r, *_ = residuals_and_jacobians(
+        (prob.rvec, prob.tvec, prob.intr, prob.points,
+         prob.obs_cam, prob.obs_point, prob.obs_xy)
+    )
+    err = np.linalg.norm(np.asarray(r), axis=1)
+    v = np.asarray(prob.obs_valid)
+    return err[v].mean()
+
+
+CFG = BAConfig(max_iterations=25, cg_iters=60)
+
+
+class TestBA:
+    def test_perfect_scene_stays_put(self, rng):
+        s = make_scene(rng)
+        prob = problem_from_scene(s)
+        out, stats = run_ba(prob, CFG, optimize_intrinsics=False)
+        assert mean_reproj_error(out) < 1e-2
+
+    def test_recovers_from_perturbation(self, rng):
+        s = make_scene(rng, noise_px=0.0)
+        rvec = s["rvec"] + rng.normal(scale=0.01, size=s["rvec"].shape).astype(np.float32)
+        tvec = s["tvec"] + rng.normal(scale=0.05, size=s["tvec"].shape).astype(np.float32)
+        pts = s["points"] + rng.normal(scale=0.02, size=s["points"].shape).astype(np.float32)
+        # Keep camera 0 at ground truth (it is the gauge anchor).
+        rvec[0], tvec[0] = s["rvec"][0], s["tvec"][0]
+        prob = problem_from_scene(s, rvec=rvec, tvec=tvec, points=pts)
+        before = mean_reproj_error(prob)
+        out, stats = run_ba(prob, CFG, optimize_intrinsics=False)
+        after = mean_reproj_error(out)
+        assert before > 5.0
+        assert after < 0.05
+        assert int(stats["accepted_steps"]) >= 3
+
+    def test_noise_floor(self, rng):
+        s = make_scene(rng, noise_px=0.5)
+        rvec = s["rvec"] + rng.normal(scale=0.005, size=s["rvec"].shape).astype(np.float32)
+        rvec[0] = s["rvec"][0]
+        prob = problem_from_scene(s, rvec=rvec)
+        out, _ = run_ba(prob, CFG, optimize_intrinsics=False)
+        # With 0.5 px observation noise, BA should land near that floor.
+        assert mean_reproj_error(out) < 0.8
+
+    def test_intrinsics_refinement(self, rng):
+        """Intrinsics optimization must fit the data and enforce fx~fy.
+
+        (Exact focal recovery is not guaranteed: with a shallow scene the
+        f/depth projective ambiguity lets BA trade focal error against
+        geometry — so the checks are the fit and the regularization contract.)
+        """
+        s = make_scene(rng)
+        bad_intr = s["intr"] + np.array([60.0, -40.0, 8.0, -6.0], np.float32)
+        prob = problem_from_scene(s, intr=bad_intr)
+        before = mean_reproj_error(prob)
+        out, _ = run_ba(prob, CFG, intr_ref=jnp.asarray(bad_intr), optimize_intrinsics=True)
+        assert mean_reproj_error(out) < 0.5 < before
+        assert abs(float(out.intr[0]) - float(out.intr[1])) < 10.0  # fx ~ fy
+
+    def test_intrinsics_frozen_when_disabled(self, rng):
+        s = make_scene(rng)
+        bad_intr = s["intr"] + np.array([30.0, -30.0, 4.0, -4.0], np.float32)
+        prob = problem_from_scene(s, intr=bad_intr)
+        out, _ = run_ba(prob, CFG, optimize_intrinsics=False)
+        np.testing.assert_array_equal(np.asarray(out.intr), bad_intr)
+
+    def test_huber_robustness_to_outliers(self, rng):
+        s = make_scene(rng, noise_px=0.3)
+        # Corrupt 10% of observations grossly.
+        n_o = len(s["obs_xy"])
+        bad = rng.choice(n_o, n_o // 10, replace=False)
+        s["obs_xy"][bad] += rng.uniform(50, 150, size=(len(bad), 2)).astype(np.float32)
+        pts = s["points"] + rng.normal(scale=0.02, size=s["points"].shape).astype(np.float32)
+        prob = problem_from_scene(s, points=pts)
+        out, _ = run_ba(prob, CFG, optimize_intrinsics=False)
+        err = mean_reproj_error(out)  # mean over ALL obs incl. outliers
+        # Inlier median must be tight despite the corrupted 10%.
+        from sfm_tpu.ba.residuals import residuals_and_jacobians
+
+        r, *_ = residuals_and_jacobians(
+            (out.rvec, out.tvec, out.intr, out.points,
+             out.obs_cam, out.obs_point, out.obs_xy)
+        )
+        e = np.linalg.norm(np.asarray(r), axis=1)
+        good = np.setdiff1d(np.arange(n_o), bad)
+        assert np.median(e[good]) < 0.8
+
+    def test_padding_invariance(self, rng):
+        """Padded capacity must not change the solution."""
+        s = make_scene(rng, n_cams=4, n_pts=60)
+        rvec = s["rvec"] + rng.normal(scale=0.008, size=s["rvec"].shape).astype(np.float32)
+        rvec[0] = s["rvec"][0]
+        p1 = problem_from_scene(s, rvec=rvec)
+        p2 = problem_from_scene(
+            s, rvec=rvec, pad_cameras=16, pad_points=256,
+            pad_obs=s["obs_cam"].shape[0] + 500,
+        )
+        o1, _ = run_ba(p1, CFG, optimize_intrinsics=False)
+        o2, _ = run_ba(p2, CFG, optimize_intrinsics=False)
+        np.testing.assert_allclose(
+            np.asarray(o1.points), np.asarray(o2.points)[:60], atol=1e-3
+        )
+        assert abs(mean_reproj_error(o1) - mean_reproj_error(o2)) < 1e-3
