@@ -1,0 +1,367 @@
+"""The incremental SfM engine (reference: StructureFromMotion,
+sfm_reconstruction.py:21-709 — re-architected TPU-first).
+
+Key design moves vs the reference:
+  * State is fixed-capacity device arrays: point slot == track id, so the
+    observation table for BA is simply *every* (track, view) slot with a
+    validity mask — no dynamic shapes, one compile per scene.
+  * 2D-3D correspondences for PnP come from the track table (feature
+    identity), not a 2-pixel re-matching pass (ref :209-218) — fixing the
+    reference's 2-view-track limitation (C15).
+  * Registration is batched PnP RANSAC; triangulation is masked multi-view
+    DLT over all currently-triangulable tracks at once; BA is the sparse
+    Schur LM program. The host only sequences decisions over small tables.
+"""
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from sfm_tpu.config import SfMConfig
+from sfm_tpu.geometry.projection import project
+from sfm_tpu.geometry.rotations import rodrigues, rotation_to_rvec
+from sfm_tpu.geometry.triangulation import triangulate_multiview
+from sfm_tpu.estimators.pnp import pnp_ransac
+from sfm_tpu.graph.view_selection import SfMGraphSelector
+from sfm_tpu.ba import run_ba
+from sfm_tpu.ba.problem import build_problem
+from sfm_tpu.reconstruction.tracks import build_tracks, TrackTable
+from sfm_tpu.reconstruction.seed import find_best_initial_pair
+
+logger = logging.getLogger(__name__)
+
+_PNP_BUDGET = 4096
+
+
+@partial(jax.jit, static_argnames=("max_err",))
+def _triangulate_tracks(
+    view_img, view_xy, rvec, tvec, registered, K, active, max_err: float = 4.0
+):
+    """Triangulate every active track from its registered views.
+
+    view_img: (T, V) image ids (-1 = none); view_xy: (T, V, 2);
+    rvec/tvec: (C, 3); registered: (C,) bool; active: (T,) bool.
+    Returns (points (T, 3), ok (T,) bool). A track is ok when it has >= 2
+    registered views, all its used views see the point in front of the
+    camera, and the max reprojection error over used views is <= max_err
+    (ref gate 4.0 px, sfm_reconstruction.py:299-305).
+    """
+    C = rvec.shape[0]
+    Rs = rodrigues(rvec)                                   # (C, 3, 3)
+    P_all = jnp.einsum("ij,cjk->cik", K, jnp.concatenate([Rs, tvec[..., None]], axis=-1))
+
+    img = jnp.clip(view_img, 0, C - 1)
+    use = (view_img >= 0) & registered[img]                # (T, V)
+
+    def one(img_row, xy_row, use_row):
+        Ps = P_all[jnp.clip(img_row, 0, C - 1)]            # (V, 3, 4)
+        X = triangulate_multiview(Ps, xy_row, use_row)
+        # Reprojection + cheirality over used views.
+        R_v = Rs[jnp.clip(img_row, 0, C - 1)]
+        t_v = tvec[jnp.clip(img_row, 0, C - 1)]
+        proj, depth = project(X[None, :], R_v, t_v, K)     # (V, 2), (V,)
+        err = jnp.linalg.norm(proj - xy_row, axis=-1)
+        n_use = jnp.sum(use_row)
+        ok = (
+            (n_use >= 2)
+            & jnp.all(jnp.where(use_row, depth > 0, True))
+            & (jnp.max(jnp.where(use_row, err, 0.0)) <= max_err)
+        )
+        return X, ok
+
+    pts, ok = jax.vmap(one)(view_img, view_xy, use)
+    return pts, ok & active
+
+
+@jax.jit
+def _reproj_stats(view_img, view_xy, rvec, tvec, registered, K, points, point_valid):
+    """Per-observation reprojection errors over the whole reconstruction."""
+    C = rvec.shape[0]
+    Rs = rodrigues(rvec)
+    img = jnp.clip(view_img, 0, C - 1)
+    use = (view_img >= 0) & registered[img] & point_valid[:, None]
+    R_v = Rs[img]
+    t_v = tvec[img]
+    proj, depth = project(points[:, None, :], R_v, t_v, K)
+    err = jnp.linalg.norm(proj - view_xy, axis=-1)
+    return jnp.where(use, err, 0.0), use
+
+
+@dataclasses.dataclass
+class ReconstructionResult:
+    """Final scene: poses, cloud, per-track observations, stats (C17 parity)."""
+
+    image_ids: np.ndarray          # (R,) registered image ids, in order
+    rotations: np.ndarray          # (R, 3, 3) world->cam
+    translations: np.ndarray       # (R, 3)
+    intrinsics: np.ndarray         # (4,) fx fy cx cy
+    points3d: np.ndarray           # (M, 3)
+    track_ids: np.ndarray          # (M,) track id of each point
+    obs_img: np.ndarray            # (M, V) image ids per point (-1 = none)
+    obs_xy: np.ndarray             # (M, V, 2)
+    stats: dict
+
+    def poses(self) -> Dict[int, Tuple[np.ndarray, np.ndarray]]:
+        return {
+            int(i): (self.rotations[k], self.translations[k])
+            for k, i in enumerate(self.image_ids)
+        }
+
+
+class StructureFromMotion:
+    """Incremental reconstruction driver.
+
+    Parameters
+    ----------
+    table : matching.PairTable — the verified-pair table (stage-1 output).
+    xy : (N, K, 2) stacked keypoint coords for all images.
+    config : SfMConfig.
+    """
+
+    def __init__(self, table, xy, config: SfMConfig = SfMConfig()):
+        self.table = table
+        self.xy = np.asarray(xy, np.float32)
+        self.config = config
+        self.num_images = self.xy.shape[0]
+        self.K = config.camera.K()
+        self.selector = SfMGraphSelector.from_pair_table(table)
+        self.tracks: TrackTable = build_tracks(table, self.xy, self.num_images)
+        logger.info(
+            "tracks: %d (max length %d)",
+            self.tracks.num_tracks,
+            int(self.tracks.length.max(initial=0)),
+        )
+
+        C = self.num_images
+        T = max(self.tracks.num_tracks, 1)
+        self.rvec = np.zeros((C, 3), np.float32)
+        self.tvec = np.zeros((C, 3), np.float32)
+        self.registered = np.zeros(C, bool)
+        self.reg_order: list[int] = []
+        self.points = np.zeros((T, 3), np.float32)
+        self.point_valid = np.zeros(T, bool)
+        self.intr = np.array(
+            [config.camera.fx, config.camera.fy, config.camera.cx, config.camera.cy],
+            np.float32,
+        )
+        self._key = jax.random.key(config.seed)
+        self._ba_calls = 0
+
+    # ------------------------------------------------------------------ utils
+
+    def _next_key(self):
+        self._key, k = jax.random.split(self._key)
+        return k
+
+    def _camera_matrix(self):
+        fx, fy, cx, cy = self.intr
+        return np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], np.float32)
+
+    # ----------------------------------------------------------------- stages
+
+    def initialize(self) -> Tuple[int, int]:
+        """Seed-pair two-view initialization (ref :61-155)."""
+        row, R, t, score = find_best_initial_pair(self.table, self._camera_matrix())
+        i, j = (int(v) for v in self.table.pairs[row])
+        logger.info("seed pair (%d, %d) score %.1f", i, j, score)
+        self.rvec[i] = 0.0
+        self.tvec[i] = 0.0
+        self.rvec[j] = np.asarray(rotation_to_rvec(R))
+        self.tvec[j] = t
+        self.registered[[i, j]] = True
+        self.reg_order += [i, j]
+        self._triangulate()
+        return i, j
+
+    def _triangulate(self):
+        """(Re)triangulate all tracks that lack a point but are now viewable."""
+        active = ~self.point_valid & (self.tracks.length >= self.config.triangulation.min_views)
+        if not active.any():
+            return 0
+        pts, ok = _triangulate_tracks(
+            jnp.asarray(self.tracks.view_img),
+            jnp.asarray(self.tracks.view_xy),
+            jnp.asarray(self.rvec),
+            jnp.asarray(self.tvec),
+            jnp.asarray(self.registered),
+            jnp.asarray(self._camera_matrix()),
+            jnp.asarray(active),
+            max_err=self.config.triangulation.max_reproj_error,
+        )
+        ok = np.asarray(ok)
+        self.points[ok] = np.asarray(pts)[ok]
+        self.point_valid |= ok
+        return int(ok.sum())
+
+    def _pnp_correspondences(self, img: int):
+        """2D-3D pairs for an unregistered image, from the track table."""
+        t_ids, v_ids = np.nonzero(self.tracks.view_img == img)
+        has_pt = self.point_valid[t_ids]
+        t_ids, v_ids = t_ids[has_pt], v_ids[has_pt]
+        pts3d = self.points[t_ids]
+        xy = self.tracks.view_xy[t_ids, v_ids]
+        return t_ids, pts3d, xy
+
+    def register_image(self, img: int) -> bool:
+        """PnP-register one image (ref add_new_image :309-339)."""
+        t_ids, pts3d, xy = self._pnp_correspondences(img)
+        n = len(t_ids)
+        if n < self.config.pnp.min_inliers:
+            return False
+        budget = _PNP_BUDGET
+        p3 = np.zeros((budget, 3), np.float32)
+        p2 = np.zeros((budget, 2), np.float32)
+        valid = np.zeros(budget, bool)
+        m = min(n, budget)
+        p3[:m], p2[:m], valid[:m] = pts3d[:m], xy[:m], True
+        out = pnp_ransac(
+            self._next_key(), p3, p2, valid, self._camera_matrix(),
+            iters=self.config.pnp.ransac_iters,
+            threshold=self.config.pnp.reproj_threshold,
+            min_inliers=self.config.pnp.min_inliers,
+            refine_iters=self.config.pnp.refine_iters,
+        )
+        if not bool(out["ok"]):
+            return False
+        self.rvec[img] = np.asarray(rotation_to_rvec(out["R"]))
+        self.tvec[img] = np.asarray(out["t"])
+        self.registered[img] = True
+        self.reg_order.append(img)
+        logger.info(
+            "registered image %d (%d/%d PnP inliers)",
+            img, int(out["num_inliers"]), n,
+        )
+        return True
+
+    # -------------------------------------------------------------------- BA
+
+    def _ba_problem_arrays(self):
+        """Flatten every (track, view) slot into the BA observation table."""
+        T, V = self.tracks.view_img.shape
+        view_img = self.tracks.view_img
+        obs_cam = np.clip(view_img.reshape(-1), 0, self.num_images - 1)
+        obs_point = np.repeat(np.arange(T, dtype=np.int32), V)
+        obs_xy = self.tracks.view_xy.reshape(-1, 2)
+        obs_valid = (
+            (view_img.reshape(-1) >= 0)
+            & self.registered[obs_cam]
+            & self.point_valid[obs_point]
+        )
+        return obs_cam.astype(np.int32), obs_point, obs_xy, obs_valid
+
+    def bundle_adjust(self, final: bool = False):
+        """Run the sparse LM program on the current state (ref :401-549)."""
+        obs_cam, obs_point, obs_xy, obs_valid = self._ba_problem_arrays()
+        cam_fixed = np.zeros(self.num_images, bool)
+        if self.reg_order:
+            cam_fixed[self.reg_order[0]] = True
+        prob = build_problem(
+            rvec=self.rvec, tvec=self.tvec, cam_valid=self.registered,
+            intr=self.intr, points=self.points, point_valid=self.point_valid,
+            obs_cam=obs_cam, obs_point=obs_point, obs_xy=obs_xy,
+            obs_valid=obs_valid, cam_fixed=cam_fixed,
+        )
+        cfg = self.config.ba
+        out, stats = run_ba(
+            prob, cfg,
+            optimize_intrinsics=cfg.optimize_intrinsics,
+        )
+        self._ba_calls += 1
+        logger.info(
+            "BA #%d: cost %.1f -> %.1f (%d its, rms %.3f px)",
+            self._ba_calls, float(stats["initial_cost"]), float(stats["final_cost"]),
+            int(stats["iterations"]), float(stats["rms_px"]),
+        )
+        self.rvec = np.array(out.rvec)[: self.num_images]
+        self.tvec = np.array(out.tvec)[: self.num_images]
+        self.intr = np.array(out.intr)
+        self.points = np.array(out.points)[: self.points.shape[0]]
+        return stats
+
+    # ------------------------------------------------------------------- run
+
+    def run_reconstruction(self, num_images: Optional[int] = None) -> ReconstructionResult:
+        """Full incremental loop (ref run_reconstruction :633-709)."""
+        t_start = time.time()
+        limit = num_images or self.num_images
+        self.initialize()
+
+        stall = 0
+        while len(self.reg_order) < limit:
+            candidates = self.selector.find_next_best_images(
+                [i for i in self.reg_order], top_k=self.config.select.top_k
+            )
+            if not candidates:
+                logger.info("no more connected candidates")
+                break
+            progressed = False
+            for img, _score in candidates:
+                if self.register_image(int(img)):
+                    self._triangulate()
+                    progressed = True
+                    break
+            if not progressed:
+                logger.info("no candidate registered; stopping")
+                break
+            if len(self.reg_order) % self.config.ba.frequency == 0:
+                self.bundle_adjust()
+                self._triangulate()
+            stall = 0
+
+        if len(self.reg_order) >= 2:
+            self.bundle_adjust(final=True)
+        stats = self.compute_stats()
+        stats["wall_clock_s"] = time.time() - t_start
+        logger.info("reconstruction: %s", stats)
+        return self._result(stats)
+
+    # ----------------------------------------------------------------- output
+
+    def compute_stats(self) -> dict:
+        """Mean/max reprojection error, track lengths, counts (ref :582-631)."""
+        err, use = _reproj_stats(
+            jnp.asarray(self.tracks.view_img),
+            jnp.asarray(self.tracks.view_xy),
+            jnp.asarray(self.rvec),
+            jnp.asarray(self.tvec),
+            jnp.asarray(self.registered),
+            jnp.asarray(self._camera_matrix()),
+            jnp.asarray(self.points),
+            jnp.asarray(self.point_valid),
+        )
+        err = np.asarray(err)
+        use = np.asarray(use)
+        n_obs = int(use.sum())
+        lengths = use.sum(axis=1)[self.point_valid]
+        return {
+            "num_cameras": int(self.registered.sum()),
+            "num_points": int(self.point_valid.sum()),
+            "num_observations": n_obs,
+            "mean_reprojection_error": float(err[use].mean()) if n_obs else 0.0,
+            "max_reprojection_error": float(err[use].max()) if n_obs else 0.0,
+            "mean_track_length": float(lengths.mean()) if len(lengths) else 0.0,
+            "max_track_length": int(lengths.max()) if len(lengths) else 0,
+        }
+
+    def _result(self, stats) -> ReconstructionResult:
+        reg = np.array(self.reg_order, np.int64)
+        Rs = np.asarray(rodrigues(jnp.asarray(self.rvec[reg])))
+        sel = self.point_valid
+        return ReconstructionResult(
+            image_ids=reg,
+            rotations=Rs,
+            translations=self.tvec[reg].copy(),
+            intrinsics=self.intr.copy(),
+            points3d=self.points[sel].copy(),
+            track_ids=np.nonzero(sel)[0],
+            obs_img=self.tracks.view_img[sel].copy(),
+            obs_xy=self.tracks.view_xy[sel].copy(),
+            stats=stats,
+        )
