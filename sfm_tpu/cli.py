@@ -1,0 +1,126 @@
+"""Command-line interface: the reference's three subcommands, no hardcoded
+paths (fixing defect #1 in SURVEY.md section 2).
+
+    python -m sfm_tpu {preprocess|reconstruct|pipeline} --data_dir ... [flags]
+
+Flag surface and validation ranges mirror main.py:52-115; logging setup
+mirrors setup_logging (main.py:19-36): console + rotating file handler.
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import logging.handlers
+import sys
+import time
+from pathlib import Path
+
+from sfm_tpu.config import SfMConfig
+from sfm_tpu.pipeline import SfMPipeline, PipelineArgs
+
+
+def setup_logging(log_level: str = "INFO", log_dir: str | None = None):
+    """Console + 10MB x 5 rotating file logging (main.py:19-36)."""
+    handlers: list[logging.Handler] = [logging.StreamHandler()]
+    if log_dir:
+        d = Path(log_dir)
+        d.mkdir(parents=True, exist_ok=True)
+        ts = time.strftime("%Y%m%d_%H%M%S")
+        handlers.append(
+            logging.handlers.RotatingFileHandler(
+                d / f"sfm_pipeline_{ts}.log", maxBytes=10 * 1024 * 1024, backupCount=5
+            )
+        )
+    logging.basicConfig(
+        level=getattr(logging, log_level.upper(), logging.INFO),
+        format="%(asctime)s %(levelname)s %(name)s: %(message)s",
+        handlers=handlers,
+        force=True,
+    )
+
+
+def _add_common(p: argparse.ArgumentParser):
+    p.add_argument("--data_dir", required=True, help="dataset root (images/, silhouettes/)")
+    p.add_argument("--output_dir", default=None, help="artifact root (default: data_dir)")
+    p.add_argument("--no_mask", action="store_true", help="disable silhouette masking")
+
+
+def parse_args(argv=None) -> argparse.Namespace:
+    ap = argparse.ArgumentParser(
+        prog="sfm_tpu", description="TPU-native Structure-from-Motion pipeline"
+    )
+    ap.add_argument("--log_level", default="INFO",
+                    choices=["DEBUG", "INFO", "WARNING", "ERROR"])
+    ap.add_argument("--log_dir", default="logs")
+    sub = ap.add_subparsers(dest="command", required=True)
+
+    pre = sub.add_parser("preprocess", help="feature detection + pair matching")
+    _add_common(pre)
+    pre.add_argument("--start_idx", type=int, default=0)
+    pre.add_argument("--end_idx", type=int, default=999)
+    pre.add_argument("--visualize", action="store_true")
+
+    rec = sub.add_parser("reconstruct", help="incremental reconstruction from saved artifacts")
+    _add_common(rec)
+    rec.add_argument("--num_images", type=int, default=1000)
+    rec.add_argument("--min_matches", type=int, default=20)
+    rec.add_argument("--export_colmap", action="store_true", default=True)
+    rec.add_argument("--export_meshlab", action="store_true", default=True)
+
+    full = sub.add_parser("pipeline", help="preprocess + reconstruct")
+    _add_common(full)
+    full.add_argument("--start_idx", type=int, default=0)
+    full.add_argument("--end_idx", type=int, default=999)
+    full.add_argument("--num_images", type=int, default=1000)
+    full.add_argument("--min_matches", type=int, default=20)
+    full.add_argument("--visualize", action="store_true")
+    full.add_argument("--export_colmap", action="store_true", default=True)
+    full.add_argument("--export_meshlab", action="store_true", default=True)
+
+    return ap.parse_args(argv)
+
+
+def main(argv=None) -> int:
+    args = parse_args(argv)
+    setup_logging(args.log_level, args.log_dir)
+    log = logging.getLogger("sfm_tpu.cli")
+
+    import numpy, jax
+
+    log.info("python %s | jax %s | numpy %s",
+             sys.version.split()[0], jax.__version__, numpy.__version__)
+
+    pargs = PipelineArgs(
+        data_dir=args.data_dir,
+        output_dir=args.output_dir,
+        start_idx=getattr(args, "start_idx", 0),
+        end_idx=getattr(args, "end_idx", 999),
+        num_images=getattr(args, "num_images", 1000),
+        min_matches=getattr(args, "min_matches", 20),
+        use_mask=not args.no_mask,
+        export_colmap=getattr(args, "export_colmap", True),
+        export_meshlab=getattr(args, "export_meshlab", True),
+        visualize=getattr(args, "visualize", False),
+    )
+    try:
+        pipe = SfMPipeline(pargs, SfMConfig())
+        if args.command == "preprocess":
+            ok = pipe.run_preprocessing()
+        elif args.command == "reconstruct":
+            ok = pipe.run_reconstruction()
+        else:
+            ok = pipe.run_full_pipeline()
+        return 0 if ok else 1
+    except KeyboardInterrupt:
+        log.error("interrupted")
+        return 130  # main.py:305-310 exit-code parity
+    except MemoryError:
+        log.error("out of memory")
+        return 137
+    except (ValueError, FileNotFoundError) as e:
+        log.error("%s", e)
+        return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

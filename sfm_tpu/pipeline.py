@@ -1,0 +1,146 @@
+"""Pipeline orchestrator: preprocess -> reconstruct -> export.
+
+Parity with the reference's SfMPipeline (main.py:117-277): directory setup +
+validation, stage sequencing with wall-clock timing, exception -> bool
+conversion, and the same on-disk stage handoff (the preprocess artifacts are
+a complete restart point for reconstruct — SURVEY.md section 1/5.4).
+"""
+from __future__ import annotations
+
+import dataclasses
+import logging
+import pickle
+import time
+from pathlib import Path
+from typing import Optional
+
+from sfm_tpu.config import SfMConfig
+
+logger = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class PipelineArgs:
+    """CLI-facing knobs (main.py:52-115 flag parity)."""
+
+    data_dir: str = "."
+    output_dir: Optional[str] = None
+    start_idx: int = 0
+    end_idx: int = 999
+    num_images: int = 1000
+    min_matches: int = 20
+    use_mask: bool = True
+    export_colmap: bool = True
+    export_meshlab: bool = True
+    visualize: bool = False
+
+
+class SfMPipeline:
+    def __init__(self, args: PipelineArgs, config: SfMConfig = SfMConfig()):
+        self.args = args
+        self.config = config
+        self.data_dir = Path(args.data_dir)
+        self.output_dir = Path(args.output_dir or args.data_dir)
+        self._validate_inputs()
+        self._setup_directories()
+        self.matcher = None
+        self.result = None
+
+    # ----------------------------------------------------------- validation
+
+    def _validate_inputs(self):
+        """Range + directory checks (main.py:38-50, :159-187)."""
+        a = self.args
+        if not (0 <= a.start_idx <= 999):
+            raise ValueError(f"start_idx {a.start_idx} outside [0, 999]")
+        if not (0 <= a.end_idx <= 999):
+            raise ValueError(f"end_idx {a.end_idx} outside [0, 999]")
+        if a.start_idx > a.end_idx:
+            raise ValueError("start_idx > end_idx")
+        if not (2 <= a.num_images <= 1000):
+            raise ValueError(f"num_images {a.num_images} outside [2, 1000]")
+        if not (20 <= a.min_matches <= 1000):
+            raise ValueError(f"min_matches {a.min_matches} outside [20, 1000]")
+        if not self.data_dir.exists():
+            raise FileNotFoundError(f"data_dir {self.data_dir} does not exist")
+
+    def _setup_directories(self):
+        for sub in ("reconstruction", "exports"):
+            d = self.output_dir / sub
+            d.mkdir(parents=True, exist_ok=True)
+            probe = d / ".write_probe"
+            probe.write_text("ok")  # write-permission probe (main.py:150-156)
+            probe.unlink()
+
+    # --------------------------------------------------------------- stages
+
+    def run_preprocessing(self) -> bool:
+        """Stage 1 (main.py:189-213)."""
+        from sfm_tpu.matching.api import ImageMatcher
+
+        t0 = time.time()
+        try:
+            self.matcher = ImageMatcher(
+                self.data_dir, self.config, output_dir=self.output_dir
+            )
+            self.matcher.process_image_range(
+                self.args.start_idx, self.args.end_idx, use_mask=self.args.use_mask
+            )
+            self.matcher.save_results()
+            with (self.output_dir / "pair_table.pkl").open("wb") as f:
+                # descriptors are device-resident and not needed downstream
+                pickle.dump(
+                    {"table": self.matcher.table,
+                     "xy": self.matcher.features["xy"],
+                     "valid": self.matcher.features["valid"],
+                     "image_paths": [str(p) for p in self.matcher.image_paths]},
+                    f,
+                )
+            if self.args.visualize and len(self.matcher.table.accepted()):
+                for p in self.matcher.table.accepted()[:20]:
+                    self.matcher.visualize_matches(int(p))
+            logger.info("preprocessing done in %.1fs", time.time() - t0)
+            return True
+        except Exception:
+            logger.exception("preprocessing failed")
+            return False
+
+    def run_reconstruction(self) -> bool:
+        """Stage 2 + export (main.py:215-260)."""
+        from sfm_tpu.reconstruction import StructureFromMotion
+        from sfm_tpu.io.export import save_reconstruction, SfMExporter
+
+        t0 = time.time()
+        try:
+            if self.matcher is not None and self.matcher.table is not None:
+                table = self.matcher.table
+                xy = self.matcher.features["xy"]
+            else:
+                blob = pickle.loads((self.output_dir / "pair_table.pkl").read_bytes())
+                table = blob["table"]
+                xy = blob["xy"]
+            sfm = StructureFromMotion(table, xy, self.config)
+            self.result = sfm.run_reconstruction(self.args.num_images)
+            recon_dir = self.output_dir / "reconstruction"
+            save_reconstruction(self.result, recon_dir)
+
+            exporter = SfMExporter(
+                result=self.result,
+                image_size=(self.config.camera.width, self.config.camera.height),
+            )
+            if self.args.export_colmap:
+                exporter.export_colmap(self.output_dir / "exports" / "colmap")
+                exporter.create_colmap_database(
+                    self.output_dir / "exports" / "colmap" / "database.db"
+                )
+            if self.args.export_meshlab:
+                exporter.export_meshlab(self.output_dir / "exports" / "meshlab.ply")
+            logger.info("reconstruction done in %.1fs", time.time() - t0)
+            return True
+        except Exception:
+            logger.exception("reconstruction failed")
+            return False
+
+    def run_full_pipeline(self) -> bool:
+        """Stage 1 + 2 (main.py:262-277)."""
+        return self.run_preprocessing() and self.run_reconstruction()
