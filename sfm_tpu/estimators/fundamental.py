@@ -48,7 +48,9 @@ def estimate_fundamental_ransac(
     idx = ransac_sample_indices(key, valid, iters, 8)  # (iters, 8)
     s1 = pts1[idx]  # (iters, 8, 2)
     s2 = pts2[idx]
-    Fs = jax.vmap(eight_point)(s1, s2)  # (iters, 3, 3)
+    # Hypotheses skip the rank-2 SVD (3x3 SVDs x thousands of hypotheses
+    # dominate TPU wall-clock; epipolar scoring is first-order insensitive).
+    Fs = jax.vmap(lambda a, b: eight_point(a, b, enforce_rank2=False))(s1, s2)
 
     # Score every hypothesis against every correspondence: (iters, N).
     errors = jax.vmap(symmetric_epipolar_distance, in_axes=(0, None, None))(Fs, pts1, pts2)

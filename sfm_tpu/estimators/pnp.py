@@ -18,6 +18,7 @@ from sfm_tpu.geometry.projection import project
 from sfm_tpu.geometry.rotations import rodrigues, rotation_to_rvec
 from sfm_tpu.estimators.ransac import ransac_sample_indices, ransac_select
 from sfm_tpu.utils.precision import f32_matmuls
+from sfm_tpu.utils.linalg import smallest_eigvec
 
 _EPS = 1e-12
 
@@ -47,8 +48,7 @@ def pnp_dlt(pts3d, pts2d_norm, weights=None):
     A = A / jnp.maximum(jnp.linalg.norm(A, axis=-1, keepdims=True), _EPS)
 
     AtA = jnp.einsum("...ni,...nj->...ij", A, A)
-    _, vecs = jnp.linalg.eigh(AtA)
-    p = vecs[..., :, 0]
+    p = smallest_eigvec(AtA)
     P = p.reshape(p.shape[:-1] + (3, 4))
 
     if weights is None:

@@ -16,6 +16,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from sfm_tpu.utils.precision import f32_matmuls
+from sfm_tpu.utils.linalg import smallest_eigvec
 
 from sfm_tpu.geometry.triangulation import triangulate_two_view
 
@@ -60,12 +61,19 @@ def normalize_points(pts, weights=None):
 
 
 @f32_matmuls
-def eight_point(pts1, pts2, weights=None):
+def eight_point(pts1, pts2, weights=None, enforce_rank2: bool = True):
     """Weighted normalized 8-point fundamental-matrix estimate.
 
     pts1, pts2: (N, 2) pixel correspondences (N >= 8); weights: (N,) soft
-    selector (0 excludes a row). Returns F (3, 3), rank-2, scaled to unit
-    Frobenius norm. Safe to vmap over a leading hypothesis/pair axis.
+    selector (0 excludes a row). Returns F (3, 3), scaled to unit Frobenius
+    norm. Safe to vmap over a leading hypothesis/pair axis.
+
+    The null vector comes from shifted inverse iteration, not eigh — tiny
+    batched eigh dominates TPU wall-clock when vmapped over thousands of
+    RANSAC hypotheses (see sfm_tpu.utils.linalg). ``enforce_rank2`` costs a
+    3x3 SVD; hypothesis scoring can skip it (the epipolar distances of a
+    nearly-rank-2 F are unchanged to first order) and apply it on the final
+    refit only.
     """
     pts1 = jnp.asarray(pts1)
     pts2 = jnp.asarray(pts2)
@@ -83,15 +91,13 @@ def eight_point(pts1, pts2, weights=None):
     A = A * weights[..., None]
 
     AtA = jnp.einsum("...ni,...nj->...ij", A, A)
-    # Smallest eigenvector of the 9x9 normal matrix (eigh returns ascending).
-    _, vecs = jnp.linalg.eigh(AtA)
-    f = vecs[..., :, 0]
+    f = smallest_eigvec(AtA)
     F = f.reshape(f.shape[:-1] + (3, 3))
 
-    # Enforce rank 2.
-    U, S, Vt = jnp.linalg.svd(F)
-    S = S.at[..., 2].set(0.0)
-    F = U @ (S[..., :, None] * Vt)
+    if enforce_rank2:
+        U, S, Vt = jnp.linalg.svd(F)
+        S = S.at[..., 2].set(0.0)
+        F = U @ (S[..., :, None] * Vt)
 
     # Denormalize: x2n^T Fn x1n = (T2 x2)^T Fn (T1 x1) -> F = T2^T Fn T1.
     F = jnp.swapaxes(T2, -1, -2) @ F @ T1

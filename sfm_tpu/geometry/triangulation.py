@@ -12,6 +12,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from sfm_tpu.utils.precision import f32_matmuls
+from sfm_tpu.utils.linalg import smallest_eigvec
 
 _EPS = 1e-12
 
@@ -20,12 +21,14 @@ def _solve_dlt(A):
     """Smallest right singular vector of A (..., M, 4), dehomogenized to 3-D.
 
     Rows of A are normalized first so pixel-scale magnitudes do not wreck f32
-    conditioning.
+    conditioning. The null vector comes from inverse iteration on the 4x4
+    normal matrix (batched tiny SVDs are a TPU wall-clock trap — see
+    sfm_tpu.utils.linalg).
     """
     norms = jnp.linalg.norm(A, axis=-1, keepdims=True)
     A = A / jnp.maximum(norms, _EPS)
-    _, _, Vt = jnp.linalg.svd(A, full_matrices=True)
-    X = Vt[..., 3, :]
+    AtA = jnp.einsum("...mi,...mj->...ij", A, A)
+    X = smallest_eigvec(AtA)
     w = X[..., 3]
     w = jnp.where(jnp.abs(w) < _EPS, _EPS, w)
     return X[..., :3] / w[..., None]

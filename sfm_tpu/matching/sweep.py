@@ -101,7 +101,7 @@ def _sweep_chunk_fn(config: SfMConfig):
             min_spread=vc.min_spread,
         )
 
-    return jax.jit(jax.vmap(one_pair, in_axes=(0, 0, None, None, None)))
+    return jax.vmap(one_pair, in_axes=(0, 0, None, None, None))
 
 
 def all_pairs_sweep(
@@ -135,7 +135,7 @@ def all_pairs_sweep(
     pairs_padded = np.concatenate([pairs, np.zeros((pad, 2), np.int32)]) if pad else pairs
     keys = jax.random.split(key, P + pad)
 
-    chunk_fn = _sweep_chunk_fn(config)
+    chunk_fn = jax.jit(_sweep_chunk_fn(config))
     outs = []
     for c0 in range(0, P + pad, chunk_size):
         chunk = jnp.asarray(pairs_padded[c0 : c0 + chunk_size])

@@ -1,0 +1,38 @@
+"""Mesh construction + sharding helpers."""
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
+    """1-D device mesh over the first ``n_devices`` local devices."""
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+def shard_batch(x, mesh: Mesh, axis: str = "data"):
+    """Shard leading axis over the mesh (pads NOT applied here — callers pad)."""
+    sharding = NamedSharding(mesh, P(axis))
+    return jax.device_put(x, sharding)
+
+
+def replicate(x, mesh: Mesh):
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(x, sharding)
+
+
+def pad_to_multiple(arr, multiple: int, axis: int = 0, fill=0):
+    """Pad ``arr`` along ``axis`` so its length is a multiple of ``multiple``."""
+    n = arr.shape[axis]
+    pad = (-n) % multiple
+    if pad == 0:
+        return arr
+    widths = [(0, 0)] * arr.ndim
+    widths[axis] = (0, pad)
+    return np.pad(np.asarray(arr), widths, constant_values=fill)

@@ -1,0 +1,79 @@
+"""Multi-device sharding tests on the 8-virtual-CPU mesh (conftest forces
+xla_force_host_platform_device_count=8 — SURVEY.md section 4 implication)."""
+import numpy as np
+import jax
+import pytest
+
+from sfm_tpu.config import SfMConfig, MatchConfig, VerifyConfig, BAConfig
+from sfm_tpu.parallel import (
+    make_mesh,
+    sharded_all_pairs_sweep,
+    shard_problem,
+    run_ba_sharded,
+)
+from sfm_tpu.matching import all_pairs_sweep
+from sfm_tpu.ba import run_ba
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    return make_mesh(8)
+
+
+class TestShardedSweep:
+    def test_matches_single_device(self, rng, mesh):
+        from tests.test_reconstruction import make_multiview
+
+        scene = make_multiview(rng, n_cams=6, n_pts=120, K_budget=128, D=32)
+        cfg = SfMConfig(
+            matching=MatchConfig(max_matches=128),
+            verify=VerifyConfig(ransac_iters=256),
+        )
+        t1 = all_pairs_sweep(
+            scene["xy"], scene["desc"], scene["valid"], cfg, chunk_size=8
+        )
+        t2 = sharded_all_pairs_sweep(
+            scene["xy"], scene["desc"], scene["valid"], mesh, cfg, pairs_per_device=2
+        )
+        # Same RNG keys + same program => identical accept decisions.
+        np.testing.assert_array_equal(t1.accept, t2.accept)
+        np.testing.assert_array_equal(t1.num_inliers, t2.num_inliers)
+        np.testing.assert_allclose(
+            t1.reprojection_error[t1.accept],
+            t2.reprojection_error[t2.accept],
+            atol=1e-3,
+        )
+
+
+class TestShardedBA:
+    def test_matches_single_device(self, rng, mesh):
+        from tests.test_ba import make_scene, problem_from_scene, mean_reproj_error
+
+        s = make_scene(rng, n_cams=5, n_pts=80)
+        rvec = s["rvec"] + rng.normal(scale=0.01, size=s["rvec"].shape).astype(np.float32)
+        rvec[0] = s["rvec"][0]
+        prob = problem_from_scene(s, rvec=rvec)
+        cfg = BAConfig(max_iterations=12, cg_iters=40)
+
+        out1, st1 = run_ba(prob, cfg, optimize_intrinsics=False)
+        out2, st2 = run_ba_sharded(prob, mesh, cfg, optimize_intrinsics=False)
+
+        e1 = mean_reproj_error(out1)
+        e2 = mean_reproj_error(out2)
+        assert e1 < 0.05 and e2 < 0.05
+        # Padded+sharded obs must not change the fixed point materially.
+        np.testing.assert_allclose(
+            np.asarray(out1.points), np.asarray(out2.points), atol=1e-2
+        )
+
+    def test_sharded_layout(self, rng, mesh):
+        from tests.test_ba import make_scene, problem_from_scene
+
+        s = make_scene(rng, n_cams=4, n_pts=60)
+        prob = problem_from_scene(s)
+        sharded = shard_problem(prob, mesh)
+        # obs arrays sharded over 8 devices, params replicated
+        assert len(sharded.obs_xy.sharding.device_set) == 8
+        assert sharded.obs_cam.shape[0] % 8 == 0
+        assert sharded.points.sharding.is_fully_replicated
