@@ -61,11 +61,17 @@ class VerifyConfig:
 @dataclasses.dataclass(frozen=True)
 class PnPConfig:
     """PnP registration (sfm_reconstruction.py:14-18, :232-261)."""
-    ransac_iters: int = 1024           # ref RANSAC_ITERATIONS = 1000
+    ransac_iters: int = 2048           # ref RANSAC_ITERATIONS = 1000; doubled
+                                       # because fixed-budget RANSAC has no
+                                       # adaptive termination headroom
     reproj_threshold: float = 8.0      # ref PNP_REPROJECTION_ERROR
     min_inliers: int = 15              # ref PNP_MIN_INLIERS
     min_matches: int = 20              # ref MIN_MATCHES
     refine_iters: int = 10             # Gauss-Newton polish on inliers
+    sample_size: int = 6               # minimal DLT sample; 6 keeps the
+                                       # all-inlier probability usable at the
+                                       # ~0.35 inlier ratios of late
+                                       # registrations (0.35^6 vs 0.35^8)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -92,6 +98,8 @@ class BAConfig:
     intrinsics_reg_weight: float = 0.1 # ref regularization weight (:498)
     frequency: int = 7                 # run BA every k registrations (ref :19)
     ftol: float = 1e-4                 # relative cost decrease stop (ref :512)
+    prune_multiplier: float = 3.0      # post-BA obs pruning at mult * tri gate
+                                       # (0 = off; the reference never prunes)
 
 
 @dataclasses.dataclass(frozen=True)

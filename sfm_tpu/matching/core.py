@@ -14,15 +14,17 @@ import jax.numpy as jnp
 _INF = jnp.inf
 
 
-@partial(jax.jit, static_argnames=("max_matches", "mutual_check"))
+def _use_pallas_default() -> bool:
+    """Pallas kernels lower natively on TPU only; jnp path elsewhere."""
+    return jax.default_backend() not in ("cpu",)
+
+
 def match_descriptors(
-    desc1,
-    valid1,
-    desc2,
-    valid2,
+    desc1, valid1, desc2, valid2,
     ratio_threshold: float = 0.75,
     max_matches: int = 1024,
     mutual_check: bool = True,
+    use_pallas: bool = None,
 ):
     """Match two padded descriptor sets.
 
@@ -33,28 +35,66 @@ def match_descriptors(
       distance    (M,) squared L2 descriptor distance
     M = max_matches; surviving matches are ordered best-first.
     """
+    if use_pallas is None:
+        use_pallas = _use_pallas_default()
+    return _match_descriptors(
+        desc1, valid1, desc2, valid2,
+        ratio_threshold=ratio_threshold,
+        max_matches=max_matches,
+        mutual_check=mutual_check,
+        use_pallas=use_pallas,
+    )
+
+
+@partial(jax.jit, static_argnames=("max_matches", "mutual_check", "use_pallas"))
+def _match_descriptors(
+    desc1,
+    valid1,
+    desc2,
+    valid2,
+    ratio_threshold: float = 0.75,
+    max_matches: int = 1024,
+    mutual_check: bool = True,
+    use_pallas: bool = False,
+):
     d1 = jnp.asarray(desc1, jnp.float32)
     d2 = jnp.asarray(desc2, jnp.float32)
-    # Squared L2 for unit vectors: ||a-b||^2 = 2 - 2 a.b — one MXU matmul.
-    sim = d1 @ d2.T
-    dist = jnp.maximum(2.0 - 2.0 * sim, 0.0)
-    big = jnp.where(valid2[None, :], 0.0, _INF)
-    dist = dist + big
-    dist = jnp.where(valid1[:, None], dist, _INF)
+    K1 = d1.shape[0]
+    K2 = d2.shape[0]
+    pallas_ok = use_pallas and K1 % 256 == 0 and K2 % 128 == 0
 
-    # Top-2 smallest along axis 1.
-    neg_top2, nn_idx = jax.lax.top_k(-dist, 2)
-    d_best = -neg_top2[:, 0]
-    d_second = -neg_top2[:, 1]
-    best_j = nn_idx[:, 0]
+    if pallas_ok:
+        # Fused MXU kernel: the (K1, K2) distance matrix never touches HBM.
+        from sfm_tpu.ops.match_topk import match_top2_pallas
+
+        s_best, s_second, best_j = match_top2_pallas(d1, d2, valid2)
+        d_best = jnp.maximum(2.0 - 2.0 * s_best, 0.0)
+        d_second = jnp.maximum(2.0 - 2.0 * s_second, 0.0)
+        d_best = jnp.where(valid1, d_best, _INF)
+        if mutual_check:
+            b2, _, back = match_top2_pallas(d2, d1, valid1)
+    else:
+        # Squared L2 for unit vectors: ||a-b||^2 = 2 - 2 a.b — one matmul.
+        sim = d1 @ d2.T
+        dist = jnp.maximum(2.0 - 2.0 * sim, 0.0)
+        big = jnp.where(valid2[None, :], 0.0, _INF)
+        dist = dist + big
+        dist = jnp.where(valid1[:, None], dist, _INF)
+
+        # Top-2 smallest along axis 1.
+        neg_top2, nn_idx = jax.lax.top_k(-dist, 2)
+        d_best = -neg_top2[:, 0]
+        d_second = -neg_top2[:, 1]
+        best_j = nn_idx[:, 0]
+        if mutual_check:
+            back = jnp.argmin(dist, axis=0)  # (K2,)
 
     ratio_ok = d_best < (ratio_threshold**2) * d_second
     good = ratio_ok & valid1 & jnp.isfinite(d_best)
 
     if mutual_check:
         # j's best partner must be i.
-        back = jnp.argmin(dist, axis=0)  # (K2,)
-        good = good & (back[best_j] == jnp.arange(dist.shape[0]))
+        good = good & (back[best_j] == jnp.arange(K1))
 
     # Compact to a fixed budget, best (smallest distance) first.
     score = jnp.where(good, -d_best, -_INF)

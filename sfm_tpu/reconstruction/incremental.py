@@ -42,7 +42,8 @@ _PNP_BUDGET = 4096
 
 @partial(jax.jit, static_argnames=("max_err",))
 def _triangulate_tracks(
-    view_img, view_xy, rvec, tvec, registered, K, active, max_err: float = 4.0
+    view_img, view_xy, view_valid, rvec, tvec, registered, K, active,
+    max_err: float = 4.0,
 ):
     """Triangulate every active track from its registered views.
 
@@ -58,7 +59,7 @@ def _triangulate_tracks(
     P_all = jnp.einsum("ij,cjk->cik", K, jnp.concatenate([Rs, tvec[..., None]], axis=-1))
 
     img = jnp.clip(view_img, 0, C - 1)
-    use = (view_img >= 0) & registered[img]                # (T, V)
+    use = view_valid & registered[img]                     # (T, V)
 
     def one(img_row, xy_row, use_row):
         Ps = P_all[jnp.clip(img_row, 0, C - 1)]            # (V, 3, 4)
@@ -81,12 +82,12 @@ def _triangulate_tracks(
 
 
 @jax.jit
-def _reproj_stats(view_img, view_xy, rvec, tvec, registered, K, points, point_valid):
+def _reproj_stats(view_img, view_xy, view_valid, rvec, tvec, registered, K, points, point_valid):
     """Per-observation reprojection errors over the whole reconstruction."""
     C = rvec.shape[0]
     Rs = rodrigues(rvec)
     img = jnp.clip(view_img, 0, C - 1)
-    use = (view_img >= 0) & registered[img] & point_valid[:, None]
+    use = view_valid & registered[img] & point_valid[:, None]
     R_v = Rs[img]
     t_v = tvec[img]
     proj, depth = project(points[:, None, :], R_v, t_v, K)
@@ -147,6 +148,9 @@ class StructureFromMotion:
         self.reg_order: list[int] = []
         self.points = np.zeros((T, 3), np.float32)
         self.point_valid = np.zeros(T, bool)
+        # Per-observation validity: BA outlier pruning masks slots here
+        # (the reference has no pruning; gross outliers survive its BA).
+        self.view_valid = self.tracks.view_img >= 0
         self.intr = np.array(
             [config.camera.fx, config.camera.fy, config.camera.cx, config.camera.cy],
             np.float32,
@@ -188,6 +192,7 @@ class StructureFromMotion:
         pts, ok = _triangulate_tracks(
             jnp.asarray(self.tracks.view_img),
             jnp.asarray(self.tracks.view_xy),
+            jnp.asarray(self.view_valid),
             jnp.asarray(self.rvec),
             jnp.asarray(self.tvec),
             jnp.asarray(self.registered),
@@ -202,7 +207,7 @@ class StructureFromMotion:
 
     def _pnp_correspondences(self, img: int):
         """2D-3D pairs for an unregistered image, from the track table."""
-        t_ids, v_ids = np.nonzero(self.tracks.view_img == img)
+        t_ids, v_ids = np.nonzero((self.tracks.view_img == img) & self.view_valid)
         has_pt = self.point_valid[t_ids]
         t_ids, v_ids = t_ids[has_pt], v_ids[has_pt]
         pts3d = self.points[t_ids]
@@ -227,6 +232,7 @@ class StructureFromMotion:
             threshold=self.config.pnp.reproj_threshold,
             min_inliers=self.config.pnp.min_inliers,
             refine_iters=self.config.pnp.refine_iters,
+            sample_size=self.config.pnp.sample_size,
         )
         if not bool(out["ok"]):
             return False
@@ -250,7 +256,7 @@ class StructureFromMotion:
         obs_point = np.repeat(np.arange(T, dtype=np.int32), V)
         obs_xy = self.tracks.view_xy.reshape(-1, 2)
         obs_valid = (
-            (view_img.reshape(-1) >= 0)
+            self.view_valid.reshape(-1)
             & self.registered[obs_cam]
             & self.point_valid[obs_point]
         )
@@ -283,7 +289,40 @@ class StructureFromMotion:
         self.tvec = np.array(out.tvec)[: self.num_images]
         self.intr = np.array(out.intr)
         self.points = np.array(out.points)[: self.points.shape[0]]
+        if self.config.ba.prune_multiplier > 0:
+            self.prune_observations(
+                self.config.ba.prune_multiplier
+                * self.config.triangulation.max_reproj_error
+            )
         return stats
+
+    def prune_observations(self, threshold: float = None):
+        """Mask observations whose post-BA reprojection error exceeds the
+        gate; points left with < 2 live views are invalidated (the reference
+        never prunes, so gross outliers survive its BA — defect class we fix).
+        """
+        if threshold is None:
+            threshold = self.config.triangulation.max_reproj_error * 2.0
+        err, use = map(np.asarray, _reproj_stats(
+            jnp.asarray(self.tracks.view_img),
+            jnp.asarray(self.tracks.view_xy),
+            jnp.asarray(self.view_valid),
+            jnp.asarray(self.rvec),
+            jnp.asarray(self.tvec),
+            jnp.asarray(self.registered),
+            jnp.asarray(self._camera_matrix()),
+            jnp.asarray(self.points),
+            jnp.asarray(self.point_valid),
+        ))
+        bad = use & (err > threshold)
+        if not bad.any():
+            return 0
+        self.view_valid &= ~bad
+        live = (self.view_valid & self.registered[np.clip(self.tracks.view_img, 0, self.num_images - 1)]).sum(axis=1)
+        dead = self.point_valid & (live < 2)
+        self.point_valid &= ~dead
+        logger.info("pruned %d observations, dropped %d points", int(bad.sum()), int(dead.sum()))
+        return int(bad.sum())
 
     # ------------------------------------------------------------------- run
 
@@ -293,10 +332,14 @@ class StructureFromMotion:
         limit = num_images or self.num_images
         self.initialize()
 
-        stall = 0
+        # On a full round of PnP failures, run BA once (a cleaned-up model
+        # often registers previously-failing views) and retry the whole
+        # candidate list before giving up. The reference simply stops
+        # (sfm_reconstruction.py:696-698).
+        retried_after_ba = False
         while len(self.reg_order) < limit:
             candidates = self.selector.find_next_best_images(
-                [i for i in self.reg_order], top_k=self.config.select.top_k
+                [i for i in self.reg_order], top_k=self.num_images
             )
             if not candidates:
                 logger.info("no more connected candidates")
@@ -308,12 +351,18 @@ class StructureFromMotion:
                     progressed = True
                     break
             if not progressed:
-                logger.info("no candidate registered; stopping")
-                break
+                if retried_after_ba:
+                    logger.info("no candidate registered; stopping")
+                    break
+                logger.info("all candidates failed; running BA and retrying")
+                self.bundle_adjust()
+                self._triangulate()
+                retried_after_ba = True
+                continue
+            retried_after_ba = False
             if len(self.reg_order) % self.config.ba.frequency == 0:
                 self.bundle_adjust()
                 self._triangulate()
-            stall = 0
 
         if len(self.reg_order) >= 2:
             self.bundle_adjust(final=True)
@@ -329,6 +378,7 @@ class StructureFromMotion:
         err, use = _reproj_stats(
             jnp.asarray(self.tracks.view_img),
             jnp.asarray(self.tracks.view_xy),
+            jnp.asarray(self.view_valid),
             jnp.asarray(self.rvec),
             jnp.asarray(self.tvec),
             jnp.asarray(self.registered),
