@@ -61,7 +61,7 @@ def _match_descriptors(
     d2 = jnp.asarray(desc2, jnp.float32)
     K1 = d1.shape[0]
     K2 = d2.shape[0]
-    pallas_ok = use_pallas and K1 % 256 == 0 and K2 % 128 == 0
+    pallas_ok = use_pallas and K1 % 128 == 0 and K2 % 128 == 0
 
     if pallas_ok:
         # Fused MXU kernel: the (K1, K2) distance matrix never touches HBM.

@@ -71,7 +71,7 @@ def _kernel(d1_ref, d2_ref, v2_ref, best_ref, second_ref, idx_ref, *, tile_n: in
 
 
 @functools.partial(jax.jit, static_argnames=("tile_m", "tile_n", "interpret"))
-def match_top2_pallas(desc1, desc2, valid2, tile_m: int = 256, tile_n: int = 128,
+def match_top2_pallas(desc1, desc2, valid2, tile_m: int = 128, tile_n: int = 128,
                       interpret: bool = False):
     """Top-2 similarity search: desc1 (K1, D) against desc2 (K2, D).
 

@@ -1,0 +1,101 @@
+"""CLI + pipeline end-to-end on a small synthetic on-disk dataset.
+
+Builds a tiny scene of blob images with known layout, writes PPM/PGM files in
+the reference's directory structure, and drives `python -m sfm_tpu` surface
+through SfMPipeline (CPU, small feature budget)."""
+import json
+import numpy as np
+import pytest
+
+from sfm_tpu.config import (
+    SfMConfig, FeatureConfig, MatchConfig, VerifyConfig, CameraConfig, BAConfig,
+)
+from sfm_tpu.pipeline import SfMPipeline, PipelineArgs
+
+
+def write_ppm(path, arr):
+    h, w = arr.shape[:2]
+    with open(path, "wb") as f:
+        f.write(b"P6\n%d %d\n255\n" % (w, h))
+        f.write(arr.astype(np.uint8).tobytes())
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    """Synthetic translating blob scene, reference directory layout."""
+    from scipy.ndimage import gaussian_filter
+
+    rng = np.random.default_rng(5)
+    root = tmp_path_factory.mktemp("scene")
+    (root / "images").mkdir()
+    size = 160
+    # Smooth random texture: every neighborhood is unique, so descriptors are
+    # discriminative (symmetric blobs all look alike and the ratio test
+    # rightly rejects them).
+    texture = gaussian_filter(rng.normal(size=(size, size * 2)), 3.0)
+    texture = (texture - texture.min()) / (texture.max() - texture.min())
+    for c in range(5):
+        shift = c * 18
+        window = texture[:, shift : shift + size]
+        arr = np.clip(window * 255, 0, 255).astype(np.uint8)
+        write_ppm(root / "images" / f"{c:04d}.ppm", np.stack([arr] * 3, -1))
+    return root
+
+
+CFG = SfMConfig(
+    features=FeatureConfig(max_keypoints=256, num_octaves=3, contrast_threshold=0.01),
+    matching=MatchConfig(max_matches=128),
+    verify=VerifyConfig(ransac_iters=256, min_spread=5.0),
+    camera=CameraConfig(width=160, height=160, fx=200.0, fy=200.0, cx=80.0, cy=80.0),
+    ba=BAConfig(max_iterations=8, cg_iters=20),
+)
+
+
+class TestPipeline:
+    def test_validation(self, dataset):
+        with pytest.raises(ValueError):
+            SfMPipeline(PipelineArgs(data_dir=str(dataset), num_images=1), CFG)
+        with pytest.raises(FileNotFoundError):
+            SfMPipeline(PipelineArgs(data_dir="/nonexistent"), CFG)
+
+    def test_preprocess_writes_artifacts(self, dataset, tmp_path):
+        pipe = SfMPipeline(
+            PipelineArgs(data_dir=str(dataset), output_dir=str(tmp_path)), CFG
+        )
+        assert pipe.run_preprocessing()
+        assert (tmp_path / "matching_results.csv").exists()
+        assert (tmp_path / "pair_table.pkl").exists()
+        csv = (tmp_path / "matching_results.csv").read_text().splitlines()
+        assert len(csv) >= 2  # header + at least one verified pair
+        assert csv[0].startswith("image1,image2,num_matches")
+
+    def test_reconstruct_from_saved_artifacts(self, dataset, tmp_path):
+        """Stage separation: reconstruct must run from disk artifacts alone
+        (SURVEY.md section 1 — the on-disk handoff is the checkpoint)."""
+        out = tmp_path / "out"
+        pipe = SfMPipeline(
+            PipelineArgs(data_dir=str(dataset), output_dir=str(out)), CFG
+        )
+        assert pipe.run_preprocessing()
+
+        pipe2 = SfMPipeline(
+            PipelineArgs(data_dir=str(dataset), output_dir=str(out)), CFG
+        )
+        assert pipe2.run_reconstruction()
+        recon = out / "reconstruction"
+        poses = json.loads((recon / "poses.json").read_text())
+        assert len(poses) >= 3
+        assert (recon / "points3D.json").exists()
+        assert (recon / "reconstruction.ply").exists()
+        assert (out / "exports" / "colmap" / "cameras.txt").exists()
+        assert (out / "exports" / "meshlab.ply").exists()
+
+    def test_cli_parse(self):
+        from sfm_tpu.cli import parse_args
+
+        a = parse_args(["preprocess", "--data_dir", "/x", "--start_idx", "3"])
+        assert a.command == "preprocess" and a.start_idx == 3
+        a = parse_args(["pipeline", "--data_dir", "/x", "--num_images", "10"])
+        assert a.num_images == 10
+        with pytest.raises(SystemExit):
+            parse_args(["bogus"])
