@@ -56,6 +56,52 @@ def get_features(cfg):
     return xy_h, desc_h, valid_h
 
 
+def bench_ba(n_cams=100, n_pts=20000, obs_per_cam=2000, lm_iters=10):
+    """LM iterations/sec on a mid-size synthetic BA problem (BASELINE.json
+    metric #2). Returns (iters_per_sec, rms_px)."""
+    import jax
+    import numpy as np
+    from sfm_tpu.config import BAConfig
+    from sfm_tpu.ba import run_ba
+    from sfm_tpu.ba.problem import build_problem
+
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-3, 3, (n_pts, 3)).astype(np.float32)
+    pts[:, 2] += 10.0
+    rvec = 0.02 * rng.normal(size=(n_cams, 3)).astype(np.float32)
+    tvec = np.concatenate(
+        [rng.uniform(-2, 2, (n_cams, 2)), np.zeros((n_cams, 1))], 1
+    ).astype(np.float32)
+    intr = np.array([1200.0, 1200.0, 512.0, 384.0], np.float32)
+    obs_cam = np.repeat(np.arange(n_cams, dtype=np.int32), obs_per_cam)
+    obs_point = rng.integers(0, n_pts, n_cams * obs_per_cam).astype(np.int32)
+    # Observations = projections + noise (so LM has real work to do).
+    from sfm_tpu.ba.residuals import residuals_and_jacobians
+    import jax.numpy as jnp
+
+    r0, *_ = residuals_and_jacobians(
+        (jnp.asarray(rvec), jnp.asarray(tvec), jnp.asarray(intr),
+         jnp.asarray(pts), jnp.asarray(obs_cam), jnp.asarray(obs_point),
+         jnp.zeros((len(obs_cam), 2), jnp.float32))
+    )
+    obs_xy = np.asarray(r0) + rng.normal(scale=0.5, size=(len(obs_cam), 2)).astype(np.float32)
+    prob = build_problem(
+        rvec=rvec, tvec=tvec, cam_valid=np.ones(n_cams, bool), intr=intr,
+        points=pts, point_valid=np.ones(n_pts, bool),
+        obs_cam=obs_cam, obs_point=obs_point, obs_xy=obs_xy,
+        obs_valid=np.ones(len(obs_cam), bool),
+    )
+    cfg = BAConfig(max_iterations=lm_iters, cg_iters=30, ftol=0.0)
+    for _ in range(2):  # compile + true warm (block_until_ready no-ops on tunnel)
+        out, stats = run_ba(prob, cfg, optimize_intrinsics=False)
+        float(stats["final_cost"])  # scalar transfer = real sync
+    t0 = time.time()
+    out, stats = run_ba(prob, cfg, optimize_intrinsics=False)
+    iters = int(stats["iterations"])  # scalar transfer inside timed region
+    dt = time.time() - t0
+    return iters / dt, float(stats["rms_px"])
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -78,11 +124,14 @@ def main():
     valid_d = jnp.asarray(valid)
     fn = jax.jit(_sweep_chunk_fn(cfg))
 
-    # Warmup / compile.
-    out = fn(keys[:chunk], jnp.asarray(pairs_p[:chunk]), xy_d, desc_d, valid_d)
-    jax.block_until_ready(out)
+    # Warmup / compile. NOTE: block_until_ready does NOT block over the
+    # axon tunnel (measured); the only reliable sync is a scalar transfer.
+    for _ in range(2):
+        out = fn(keys[:chunk], jnp.asarray(pairs_p[:chunk]), xy_d, desc_d, valid_d)
+        float(jnp.sum(out["num_inliers"]))
 
-    # Timed sweep over all pairs; outputs stay on device.
+    # Timed sweep over all pairs; outputs stay on device, synced by reducing
+    # every chunk to one scalar transferred inside the timed region.
     t0 = time.time()
     outs = []
     for c0 in range(0, P + pad, chunk):
@@ -90,11 +139,14 @@ def main():
             fn(keys[c0:c0 + chunk], jnp.asarray(pairs_p[c0:c0 + chunk]),
                xy_d, desc_d, valid_d)
         )
-    jax.block_until_ready(outs)
+    total_inliers = float(sum(jnp.sum(o["num_inliers"]) for o in outs))
     dt = time.time() - t0
     pairs_per_sec = P / dt
+    assert total_inliers > 0
 
     accepted = int(np.sum(np.concatenate([np.asarray(o["accept"]) for o in outs])[:P]))
+
+    ba_ips, ba_rms = bench_ba()
 
     baseline_file = ROOT / "BASELINE_MEASURED.json"
     if baseline_file.exists():
@@ -113,6 +165,9 @@ def main():
                     "sweep_s": round(dt, 3),
                     "accepted_pairs": accepted,
                     "baseline_pairs_per_sec": base if base == base else None,
+                    "ba_lm_iters_per_sec": round(ba_ips, 2),
+                    "ba_bench_rms_px": round(ba_rms, 3),
+                    "ba_bench_size": "100 cams / 20k pts / 200k obs",
                 },
             }
         )

@@ -121,7 +121,10 @@ def select_octave_candidates(fields, budget: int):
     score = fields["score"]
     S, h, w = score.shape
     flat = score.reshape(-1)
-    top, idx = jax.lax.top_k(flat, budget)
+    # approx_max_k: TPU-native partial reduction, ~10x cheaper than the full
+    # sort top_k lowers to; >=95% recall is plenty (candidates are re-gated
+    # by the global top-k and response scores downstream).
+    top, idx = jax.lax.approx_max_k(flat, budget, recall_target=0.95)
     layer = idx // (h * w)
     rem = idx % (h * w)
     y = rem // w
