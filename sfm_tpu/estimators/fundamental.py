@@ -17,7 +17,7 @@ from sfm_tpu.geometry.epipolar import eight_point, symmetric_epipolar_distance
 from sfm_tpu.estimators.ransac import ransac_sample_indices, ransac_select
 
 
-@partial(jax.jit, static_argnames=("iters",))
+@partial(jax.jit, static_argnames=("iters", "prefix_valid", "score_budget"))
 def estimate_fundamental_ransac(
     key,
     pts1,
@@ -25,6 +25,8 @@ def estimate_fundamental_ransac(
     valid,
     iters: int = 2048,
     threshold: float = 3.0,
+    prefix_valid: bool = False,
+    score_budget: int = 0,
 ):
     """Robust F estimation from padded correspondences.
 
@@ -35,9 +37,17 @@ def estimate_fundamental_ransac(
       errors     (N,)    symmetric epipolar distances under the refit F
       ok         ()      bool — enough valid rows to attempt (>= 8)
 
-    Mirrors the reference contract: RANSAC at ``threshold`` px (ref 3.0), then
-    inliers re-derived from the symmetric epipolar distance of the *final* F
-    (the reference discards cv2's own mask the same way, find_matches.py:284-291).
+    ``prefix_valid``: set when valid rows form a leading prefix (compacted
+    match tables) — enables O(iters*k) sampling instead of an (iters, N) sort.
+    ``score_budget``: if >0, hypotheses are *selected* on only the first
+    ``score_budget`` rows (rows are quality-sorted in the sweep path, so this
+    subset is the most informative); the final consensus refit and the
+    reported inliers always use the full set. Cuts the (iters, N) error
+    matrix, the dominant per-pair cost, by N/score_budget.
+
+    Contract parity: RANSAC at ``threshold`` px (ref 3.0), then inliers
+    re-derived from the symmetric epipolar distance of the *final* F (the
+    reference discards cv2's own mask the same way, find_matches.py:284-291).
     """
     pts1 = jnp.asarray(pts1, jnp.float32)
     pts2 = jnp.asarray(pts2, jnp.float32)
@@ -45,20 +55,25 @@ def estimate_fundamental_ransac(
     n_valid = jnp.sum(valid)
     ok = n_valid >= 8
 
-    idx = ransac_sample_indices(key, valid, iters, 8)  # (iters, 8)
+    idx = ransac_sample_indices(key, valid, iters, 8, prefix=prefix_valid)
     s1 = pts1[idx]  # (iters, 8, 2)
     s2 = pts2[idx]
     # Hypotheses skip the rank-2 SVD (3x3 SVDs x thousands of hypotheses
     # dominate TPU wall-clock; epipolar scoring is first-order insensitive).
     Fs = jax.vmap(lambda a, b: eight_point(a, b, enforce_rank2=False))(s1, s2)
 
-    # Score every hypothesis against every correspondence: (iters, N).
-    errors = jax.vmap(symmetric_epipolar_distance, in_axes=(0, None, None))(Fs, pts1, pts2)
-    _, best_inliers, _ = ransac_select(errors, valid, threshold)
+    # Score every hypothesis against the scoring subset: (iters, N_score).
+    if score_budget and score_budget < pts1.shape[0]:
+        sc1, sc2, scv = pts1[:score_budget], pts2[:score_budget], valid[:score_budget]
+    else:
+        sc1, sc2, scv = pts1, pts2, valid
+    errors = jax.vmap(symmetric_epipolar_distance, in_axes=(0, None, None))(Fs, sc1, sc2)
+    best_h, _, _ = ransac_select(errors, scv, threshold)
 
-    # Refit on the winning consensus set (weighted 8-point), then re-derive
-    # the final inlier set from the refit model.
-    w = best_inliers.astype(jnp.float32)
+    # Consensus of the winning hypothesis over the FULL set, then refit
+    # (weighted 8-point with rank-2 enforcement), then final inliers.
+    err_h = symmetric_epipolar_distance(Fs[best_h], pts1, pts2)
+    w = ((err_h < threshold) & valid).astype(jnp.float32)
     F = eight_point(pts1, pts2, w)
     final_err = symmetric_epipolar_distance(F, pts1, pts2)
     inliers = (final_err < threshold) & valid

@@ -156,7 +156,8 @@ def pnp_ransac(
     ones = jnp.ones_like(pts2d[..., :1])
     pn = (jnp.concatenate([pts2d, ones], axis=-1) @ Kinv.T)[..., :2]
 
-    idx = ransac_sample_indices(key, valid, iters, sample_size)
+    # PnP budgets are filled front-first -> prefix sampling (no sort).
+    idx = ransac_sample_indices(key, valid, iters, sample_size, prefix=True)
     s3 = pts3d[idx]   # (iters, S, 3)
     s2n = pn[idx]     # (iters, S, 2)
     s2 = pts2d[idx]

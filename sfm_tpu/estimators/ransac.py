@@ -15,18 +15,33 @@ import jax
 import jax.numpy as jnp
 
 
-def ransac_sample_indices(key, valid, iters: int, sample_size: int):
-    """Draw ``iters`` minimal samples of ``sample_size`` distinct valid indices.
+def ransac_sample_indices(key, valid, iters: int, sample_size: int,
+                          prefix: bool = False):
+    """Draw ``iters`` minimal samples of ``sample_size`` valid indices.
 
     valid: (N,) bool mask of usable data rows. Returns (iters, sample_size)
-    int32 indices. Uses the Gumbel top-k trick: per hypothesis, draw iid noise
-    over all N rows, push invalid rows to -inf, take the top-k — a uniform
-    without-replacement sample over the valid set, with fully static shapes.
+    int32 indices.
 
-    If fewer than ``sample_size`` rows are valid, the sample will contain
-    invalid rows; callers must gate on the valid count (the resulting model
-    scores ~0 inliers anyway because scoring is also masked).
+    prefix=False (general masks): Gumbel top-k — iid noise over all N rows,
+    invalid rows pushed to -inf, top-k per hypothesis = a uniform
+    without-replacement sample with static shapes. Costs a (iters, N) sort.
+
+    prefix=True (valid rows form a leading prefix — true for match tables and
+    PnP budgets, which are compacted best-first): sample uniform integers in
+    [0, n_valid) directly — O(iters*k), no sort. With-replacement, so a
+    hypothesis can repeat a row (probability ~k^2/2n); a degenerate sample
+    just scores few inliers and loses the argmax, which costs a vanishing
+    amount of the fixed hypothesis budget.
+
+    If fewer than ``sample_size`` rows are valid, samples contain invalid
+    rows; callers gate on the valid count (scoring is masked anyway).
     """
+    if prefix:
+        n_valid = jnp.maximum(jnp.sum(valid).astype(jnp.int32), 1)
+        u = jax.random.uniform(key, (iters, sample_size))
+        return jnp.minimum(
+            (u * n_valid).astype(jnp.int32), n_valid - 1
+        )
     noise = jax.random.uniform(key, (iters, valid.shape[0]))
     noise = jnp.where(valid[None, :], noise, -jnp.inf)
     _, idx = jax.lax.top_k(noise, sample_size)

@@ -26,7 +26,7 @@ def _masked_std(x, w):
     return jnp.sqrt(var)
 
 
-@partial(jax.jit, static_argnames=("ransac_iters",))
+@partial(jax.jit, static_argnames=("ransac_iters", "prefix_valid", "score_budget"))
 def verify_pair(
     key,
     xy1,
@@ -38,6 +38,8 @@ def verify_pair(
     min_inlier_ratio: float = 0.3,
     max_reproj_error: float = 2.0,
     min_spread: float = 20.0,
+    prefix_valid: bool = False,
+    score_budget: int = 0,
 ):
     """RANSAC F + quality gates on one padded match set.
 
@@ -46,7 +48,8 @@ def verify_pair(
     well_distributed (bool), accept (bool).
     """
     est = estimate_fundamental_ransac(
-        key, xy1, xy2, valid, iters=ransac_iters, threshold=ransac_threshold
+        key, xy1, xy2, valid, iters=ransac_iters, threshold=ransac_threshold,
+        prefix_valid=prefix_valid, score_budget=score_budget,
     )
     inl = est["inliers"]
     w = inl.astype(jnp.float32)
@@ -110,6 +113,9 @@ def match_and_verify(
     )
     xy1 = xy_1[m["idx1"]] * m["valid"][:, None]
     xy2 = xy_2[m["idx2"]] * m["valid"][:, None]
+    # match tables are compacted best-first: valid rows are a prefix, and the
+    # first rows are the most reliable matches -> fast sampling + subset
+    # hypothesis scoring.
     out = verify_pair(
         key, xy1, xy2, m["valid"],
         ransac_iters=ransac_iters,
@@ -118,6 +124,8 @@ def match_and_verify(
         min_inlier_ratio=min_inlier_ratio,
         max_reproj_error=max_reproj_error,
         min_spread=min_spread,
+        prefix_valid=True,
+        score_budget=min(256, xy1.shape[0]),
     )
     out["xy1"] = xy1
     out["xy2"] = xy2

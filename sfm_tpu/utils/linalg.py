@@ -14,22 +14,25 @@ import jax
 import jax.numpy as jnp
 
 
-def smallest_eigvec(A, iters: int = 8, shift: float = 3e-4):
+def smallest_eigvec(A, iters: int = 8, shift: float = 1e-6, fallback_shift: float = 1e-3):
     """Eigenvector of the smallest eigenvalue of a PSD matrix (..., n, n).
 
     Shifted inverse iteration: factor (A + shift*mean_eig*I) once (Cholesky),
-    then run ``iters`` normalized solves. The shift must dominate the f32
-    accumulation noise floor (rounding makes the nominally-PSD normal matrix
-    indefinite by ~1e-5 * scale, which breaks Cholesky), while staying far
-    below the eigen-gap so convergence stays immediate: 3e-4 of the mean
-    eigenvalue satisfies both by orders of magnitude for normalized
-    minimal-solver systems.
+    then run ``iters`` normalized solves. Two-tier shift: the small shift
+    preserves f32 accuracy, but rounding can make the nominally-PSD normal
+    matrix indefinite by ~1e-5 * scale and break the factorization — those
+    batch entries fall back to the large shift (the fixed point is the same
+    eigenvector either way; only the convergence rate and f32 conditioning
+    differ).
     """
     A = jnp.asarray(A)
     n = A.shape[-1]
     mean_eig = jnp.trace(A, axis1=-2, axis2=-1)[..., None, None] / n
-    M = A + (shift * mean_eig + 1e-20) * jnp.eye(n, dtype=A.dtype)
-    L = jnp.linalg.cholesky(M)
+    eye = jnp.eye(n, dtype=A.dtype)
+    L1 = jnp.linalg.cholesky(A + (shift * mean_eig + 1e-20) * eye)
+    L2 = jnp.linalg.cholesky(A + (fallback_shift * mean_eig + 1e-20) * eye)
+    ok = jnp.all(jnp.isfinite(L1), axis=(-2, -1), keepdims=True)
+    L = jnp.where(ok, jnp.where(jnp.isfinite(L1), L1, 0.0), L2)
 
     # Fixed start vector (deterministic); ones is never orthogonal to the
     # null space in practice for normalized problem matrices — add a tiny
