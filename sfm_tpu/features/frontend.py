@@ -103,10 +103,9 @@ def _detect_impl(image, mask, config: FeatureConfig, has_mask: bool) -> Features
         yi = jnp.clip(jnp.round(xy[:, 1]).astype(jnp.int32), 0, h - 1)
         valid = valid & mask[yi, xi]
 
-    # Global top-k by response among valid candidates (approximate: exact
-    # rank order among keypoints does not matter downstream).
+    # Global top-k by response among valid candidates.
     score = jnp.where(valid, response, -1.0)
-    _, idx = jax.lax.approx_max_k(score, config.max_keypoints, recall_target=0.95)
+    _, idx = jax.lax.top_k(score, config.max_keypoints)
     sel = lambda a: a[idx]
     valid = sel(valid) & (sel(score) > 0)
     zero = lambda a: jnp.where(

@@ -31,11 +31,20 @@ def gaussian_blur(img: jnp.ndarray, sigma: float) -> jnp.ndarray:
     radius = max(1, int(math.ceil(3.0 * sigma)))
     k = _gaussian_kernel1d(sigma, radius)
     # Rows then columns, via conv_general_dilated on NCHW with 1 channel.
+    # HIGHEST precision: the TPU default multiplies in bf16, whose
+    # quantization noise creates spurious DoG extrema (measured ~40% fake
+    # keypoints on bunny at contrast 0.006).
     x = img[None, None, :, :]
     kh = k[None, None, None, :]
-    x = jax.lax.conv_general_dilated(x, kh, (1, 1), [(0, 0), (radius, radius)])
+    x = jax.lax.conv_general_dilated(
+        x, kh, (1, 1), [(0, 0), (radius, radius)],
+        precision=jax.lax.Precision.HIGHEST,
+    )
     kv = k[None, None, :, None]
-    x = jax.lax.conv_general_dilated(x, kv, (1, 1), [(radius, radius), (0, 0)])
+    x = jax.lax.conv_general_dilated(
+        x, kv, (1, 1), [(radius, radius), (0, 0)],
+        precision=jax.lax.Precision.HIGHEST,
+    )
     return x[0, 0]
 
 
