@@ -28,7 +28,7 @@ def log(m):
     print("[%7.1fs] %s" % (time.time() - T0, m), flush=True)
 
 
-def main(ct=0.006, prune=3.0, seed=0):
+def main(ct=0.006, prune=3.0, seed=0, upsample=False):
     d = Path("/root/reference/bunny_data")
     imgs = sorted((d / "images").glob("*.ppm"))
     masks = sorted((d / "silhouettes").glob("*.pgm"))
@@ -38,7 +38,7 @@ def main(ct=0.006, prune=3.0, seed=0):
     log("loaded %d images (native)" % len(imgs))
 
     cfg = SfMConfig(
-        features=FeatureConfig(contrast_threshold=ct),
+        features=FeatureConfig(contrast_threshold=ct, upsample_first_octave=upsample),
         ba=BAConfig(prune_multiplier=prune),
         seed=seed,
     )
@@ -65,9 +65,9 @@ def main(ct=0.006, prune=3.0, seed=0):
     sfm = StructureFromMotion(table, xy, cfg)
     res = sfm.run_reconstruction()
     s = res.stats
-    log("RESULT ct=%s prune=%s seed=%d: cams=%d pts=%d obs=%d err=%.3f "
+    log("RESULT ct=%s prune=%s seed=%d up=%s: cams=%d pts=%d obs=%d err=%.3f "
         "maxerr=%.1f tracklen=%.2f" % (
-            ct, prune, seed, s["num_cameras"], s["num_points"],
+            ct, prune, seed, upsample, s["num_cameras"], s["num_points"],
             s["num_observations"], s["mean_reprojection_error"],
             s["max_reprojection_error"], s["mean_track_length"]))
     return res
@@ -76,4 +76,5 @@ def main(ct=0.006, prune=3.0, seed=0):
 if __name__ == "__main__":
     ct = float(sys.argv[1]) if len(sys.argv) > 1 else 0.006
     prune = float(sys.argv[2]) if len(sys.argv) > 2 else 3.0
-    main(ct, prune)
+    upsample = len(sys.argv) > 3 and sys.argv[3] == "up"
+    main(ct, prune, upsample=upsample)

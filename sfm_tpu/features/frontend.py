@@ -50,7 +50,10 @@ def _detect_impl(image, mask, config: FeatureConfig, has_mask: bool) -> Features
         scales_per_octave=S,
         sigma0=config.sigma0,
         assumed_blur=config.assumed_blur,
+        upsample=config.upsample_first_octave,
     )
+    # With the -1 octave, octave o sits at resolution scale 2^(o-1).
+    oct_base = 0.5 if config.upsample_first_octave else 1.0
 
     per_octave = []
     for o in range(config.num_octaves):
@@ -79,7 +82,7 @@ def _detect_impl(image, mask, config: FeatureConfig, has_mask: bool) -> Features
             )
         )(x_o, y_o, grad_idx, sigma_rel, angle)
 
-        scale = float(1 << o)
+        scale = float(1 << o) * oct_base
         per_octave.append(
             {
                 "xy": jnp.stack([x_o * scale, y_o * scale], axis=-1),

@@ -54,26 +54,36 @@ def layer_sigmas(num_layers: int, sigma0: float, scales_per_octave: int):
     return [sigma0 * (k**i) for i in range(num_layers)]
 
 
-@partial(jax.jit, static_argnames=("num_octaves", "scales_per_octave", "sigma0", "assumed_blur"))
+@partial(jax.jit, static_argnames=(
+    "num_octaves", "scales_per_octave", "sigma0", "assumed_blur", "upsample"))
 def build_pyramid(
     image: jnp.ndarray,
     num_octaves: int = 4,
     scales_per_octave: int = 3,
     sigma0: float = 1.6,
     assumed_blur: float = 0.5,
+    upsample: bool = False,
 ):
     """(H, W) float32 in [0,1] -> (gaussians, dogs).
 
     gaussians: list of per-octave (S+3, h_o, w_o) stacks;
     dogs:      list of per-octave (S+2, h_o, w_o) stacks.
-    Octave o has resolution (H >> o, W >> o).
+    Octave o has resolution (H >> o, W >> o); with ``upsample`` the first
+    octave is the 2x-upsampled image (SIFT's -1 octave: doubles the keypoint
+    yield on fine structures) and callers scale coordinates by 0.5.
     """
     S = scales_per_octave
     sigmas = layer_sigmas(S + 3, sigma0, S)
 
+    img = image.astype(jnp.float32)
+    if upsample:
+        h, w = img.shape
+        img = jax.image.resize(img, (2 * h, 2 * w), method="bilinear")
+        assumed_blur = assumed_blur * 2.0  # blur scales with the resampling
+
     # Bring the input up to sigma0.
     base_extra = math.sqrt(max(sigma0**2 - assumed_blur**2, 1e-8))
-    base = gaussian_blur(image.astype(jnp.float32), base_extra)
+    base = gaussian_blur(img, base_extra)
 
     gaussians = []
     dogs = []

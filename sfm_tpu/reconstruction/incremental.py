@@ -324,13 +324,59 @@ class StructureFromMotion:
         logger.info("pruned %d observations, dropped %d points", int(bad.sum()), int(dead.sum()))
         return int(bad.sum())
 
+    # ---------------------------------------------------------- checkpointing
+
+    def save_checkpoint(self, path):
+        """Serialize the full mutable reconstruction state (SURVEY.md
+        section 5: explicit mid-reconstruction checkpoints, which the
+        reference lacks — its only checkpoint is the stage boundary)."""
+        np.savez_compressed(
+            path,
+            rvec=self.rvec, tvec=self.tvec, registered=self.registered,
+            reg_order=np.asarray(self.reg_order, np.int64),
+            points=self.points, point_valid=self.point_valid,
+            view_valid=self.view_valid, intr=self.intr,
+            ba_calls=np.int64(self._ba_calls),
+        )
+
+    def load_checkpoint(self, path):
+        """Restore state saved by :meth:`save_checkpoint`; the PairTable /
+        track table must come from the same preprocessing run."""
+        z = np.load(path)
+        self.rvec = z["rvec"].copy()
+        self.tvec = z["tvec"].copy()
+        self.registered = z["registered"].copy()
+        self.reg_order = [int(i) for i in z["reg_order"]]
+        self.points = z["points"].copy()
+        self.point_valid = z["point_valid"].copy()
+        self.view_valid = z["view_valid"].copy()
+        self.intr = z["intr"].copy()
+        self._ba_calls = int(z["ba_calls"])
+
+    def save_reconstruction(self, out_dir):
+        """Write poses.json / points3D.json / reconstruction.ply (C17 parity,
+        ref save_reconstruction :711-749)."""
+        from sfm_tpu.io.export import save_reconstruction as _save
+
+        return _save(self._result(self.compute_stats()), out_dir)
+
     # ------------------------------------------------------------------- run
 
-    def run_reconstruction(self, num_images: Optional[int] = None) -> ReconstructionResult:
-        """Full incremental loop (ref run_reconstruction :633-709)."""
+    def run_reconstruction(
+        self,
+        num_images: Optional[int] = None,
+        checkpoint_dir=None,
+        checkpoint_every: int = 0,
+    ) -> ReconstructionResult:
+        """Full incremental loop (ref run_reconstruction :633-709).
+
+        checkpoint_dir + checkpoint_every=k: serialize state every k
+        registrations (resume via load_checkpoint + run_reconstruction).
+        """
         t_start = time.time()
         limit = num_images or self.num_images
-        self.initialize()
+        if not self.reg_order:  # fresh run (vs resumed from checkpoint)
+            self.initialize()
 
         # On a full round of PnP failures, run BA once (a cleaned-up model
         # often registers previously-failing views) and retry the whole
@@ -363,6 +409,15 @@ class StructureFromMotion:
             if len(self.reg_order) % self.config.ba.frequency == 0:
                 self.bundle_adjust()
                 self._triangulate()
+            if checkpoint_dir and checkpoint_every and (
+                len(self.reg_order) % checkpoint_every == 0
+            ):
+                from pathlib import Path
+
+                Path(checkpoint_dir).mkdir(parents=True, exist_ok=True)
+                self.save_checkpoint(
+                    Path(checkpoint_dir) / f"ckpt_{len(self.reg_order):04d}.npz"
+                )
 
         if len(self.reg_order) >= 2:
             self.bundle_adjust(final=True)

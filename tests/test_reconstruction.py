@@ -168,3 +168,51 @@ class TestIncremental:
         # Direct-from-result exporter agrees on the point count.
         exp2 = SfMExporter(result=res)
         assert len(exp2.points) == len(exp.points)
+
+
+class TestCheckpoint:
+    def test_save_load_roundtrip(self, scene, pair_table, tmp_path):
+        from sfm_tpu.config import SfMConfig, PnPConfig, BAConfig
+
+        cfg = SfMConfig(
+            pnp=PnPConfig(ransac_iters=512),
+            ba=BAConfig(max_iterations=10, cg_iters=30, optimize_intrinsics=False),
+        )
+        sfm = StructureFromMotion(pair_table, scene["xy"], cfg)
+        sfm.initialize()
+        sfm.save_checkpoint(tmp_path / "ckpt.npz")
+
+        sfm2 = StructureFromMotion(pair_table, scene["xy"], cfg)
+        sfm2.load_checkpoint(tmp_path / "ckpt.npz")
+        np.testing.assert_array_equal(sfm.registered, sfm2.registered)
+        np.testing.assert_array_equal(sfm.points, sfm2.points)
+        assert sfm.reg_order == sfm2.reg_order
+
+        # A resumed run completes the reconstruction.
+        res = sfm2.run_reconstruction()
+        assert res.stats["num_cameras"] >= 6
+
+    def test_periodic_checkpoints_written(self, scene, pair_table, tmp_path):
+        from sfm_tpu.config import SfMConfig, PnPConfig, BAConfig
+
+        cfg = SfMConfig(
+            pnp=PnPConfig(ransac_iters=256),
+            ba=BAConfig(max_iterations=6, cg_iters=20, optimize_intrinsics=False),
+        )
+        sfm = StructureFromMotion(pair_table, scene["xy"], cfg)
+        sfm.run_reconstruction(checkpoint_dir=tmp_path / "ck", checkpoint_every=2)
+        files = sorted((tmp_path / "ck").glob("ckpt_*.npz"))
+        assert len(files) >= 2
+
+    def test_save_reconstruction_method(self, scene, pair_table, tmp_path):
+        from sfm_tpu.config import SfMConfig, PnPConfig, BAConfig
+
+        cfg = SfMConfig(
+            pnp=PnPConfig(ransac_iters=256),
+            ba=BAConfig(max_iterations=6, cg_iters=20, optimize_intrinsics=False),
+        )
+        sfm = StructureFromMotion(pair_table, scene["xy"], cfg)
+        sfm.run_reconstruction()
+        sfm.save_reconstruction(tmp_path / "recon")
+        assert (tmp_path / "recon" / "poses.json").exists()
+        assert (tmp_path / "recon" / "reconstruction.ply").exists()
