@@ -33,7 +33,9 @@ class FeatureConfig:
     descriptor_bins: int = 8           # 8 orientation bins -> 128-D
     descriptor_scale: float = 3.0      # bin size = scale * kp_sigma
     descriptor_clip: float = 0.2       # clip normalized descriptor, renormalize
-    upsample_first_octave: bool = False
+    upsample_first_octave: bool = True # SIFT's -1 octave: 2x keypoint yield;
+                                       # on bunny this is the difference
+                                       # between 31/36 and 35/36 cameras
     mask_dilate: int = 0               # optional mask morphology (ref inverts+closes)
 
 

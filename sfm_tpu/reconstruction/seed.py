@@ -1,10 +1,13 @@
 """Seed-pair selection + two-view initialization.
 
-Reference semantics (sfm_reconstruction.py:61-155): score every verified pair
-by num_inliers * ||t|| with t from recoverPose of E = K^T F K, pick the
-argmax, then initialize the reconstruction from that pair's relative pose.
-Here the scoring of *all* pairs is one vmapped device program instead of a
-Python loop of cv2 calls.
+The reference scores every verified pair by num_inliers * ||t|| with t from
+recoverPose of E = K^T F K (sfm_reconstruction.py:61-106) — but recovered
+translations are unit-norm, so that score degenerates to the inlier count and
+prefers adjacent, short-baseline pairs whose essential-matrix geometry is
+ill-conditioned (measured on bunny: the top such pair triangulates at ~9.5 px
+median error and the whole reconstruction dies). We keep the vmapped
+pose-recovery sweep but score like mature SfM systems: inlier count weighted
+by median triangulation parallax, gated on two-view consistency.
 """
 from __future__ import annotations
 
@@ -15,31 +18,72 @@ import jax
 import jax.numpy as jnp
 
 from sfm_tpu.geometry.epipolar import essential_from_fundamental, recover_pose
+from sfm_tpu.geometry.triangulation import triangulate_two_view
+from sfm_tpu.geometry.projection import project
+
+_EPS = 1e-12
 
 
-@partial(jax.jit, static_argnames=())
+def _masked_median(x, mask):
+    """Median of x where mask, NaN-free (invalid -> +inf, median of count)."""
+    big = jnp.where(mask, x, jnp.inf)
+    n = jnp.sum(mask)
+    s = jnp.sort(big)
+    idx = jnp.clip((n - 1) // 2, 0, x.shape[0] - 1)
+    return s[idx]
+
+
+@jax.jit
 def _score_pairs(Fs, xy1, xy2, valid, K):
-    """vmapped pose recovery + scoring over the accepted-pair batch.
+    """Pose recovery + parallax/consistency scoring over the pair batch.
 
-    Fs: (P, 3, 3); xy1, xy2: (P, M, 2); valid: (P, M). Returns
-    (scores (P,), Rs (P, 3, 3), ts (P, 3)).
+    Returns (scores (P,), Rs, ts, med_parallax_deg (P,), med_err (P,)).
+    score = cheirality_count * clip(median_parallax, 0, 10 deg), zeroed when
+    the recovered two-view geometry cannot reproject its own inliers to
+    < 3 px median (degenerate F/E).
     """
 
     def one(F, p1, p2, v):
         E = essential_from_fundamental(F, K)
-        n_good, R, t, _ = recover_pose(E, p1, p2, K, v.astype(jnp.float32))
-        return n_good.astype(jnp.float32) * jnp.linalg.norm(t), R, t
+        n_good, R, t, mask = recover_pose(E, p1, p2, K, v.astype(jnp.float32))
+        eye = jnp.eye(3, dtype=F.dtype)
+        zero = jnp.zeros((3,), F.dtype)
+        P1 = K @ jnp.concatenate([eye, zero[:, None]], axis=1)
+        P2 = K @ jnp.concatenate([R, t[:, None]], axis=1)
+        X = triangulate_two_view(P1, P2, p1, p2)            # (N, 3)
+
+        # Two-view consistency: reprojection into both views.
+        pr1, z1 = project(X, eye, zero, K)
+        pr2, z2 = project(X, R, t, K)
+        err = jnp.maximum(
+            jnp.linalg.norm(pr1 - p1, axis=-1), jnp.linalg.norm(pr2 - p2, axis=-1)
+        )
+        use = mask & (z1 > 0) & (z2 > 0)
+        med_err = _masked_median(err, use)
+
+        # Parallax: angle between the two viewing rays.
+        c2 = -R.T @ t                                       # camera-2 center
+        r1 = X
+        r2 = X - c2
+        cosang = jnp.sum(r1 * r2, axis=-1) / jnp.maximum(
+            jnp.linalg.norm(r1, axis=-1) * jnp.linalg.norm(r2, axis=-1), _EPS
+        )
+        ang = jnp.degrees(jnp.arccos(jnp.clip(cosang, -1.0, 1.0)))
+        med_par = _masked_median(ang, use)
+
+        consistent = med_err < 3.0
+        score = (
+            n_good.astype(jnp.float32)
+            * jnp.clip(med_par, 0.0, 10.0)
+            * consistent.astype(jnp.float32)
+        )
+        return score, R, t, med_par, med_err
 
     return jax.vmap(one)(Fs, xy1, xy2, valid)
 
 
 def find_best_initial_pair(table, K):
-    """Pick the seed pair (ref :61-106). Returns (pair_row, R, t, score).
-
-    table: matching.PairTable. Only accepted pairs compete. The reference
-    scores num_inliers * baseline-norm; ``t`` from recover_pose is unit-norm,
-    so the two formulations match up to the cheirality count.
-    """
+    """Pick the seed pair. Returns (pair_row, R, t, score)."""
     acc = table.accepted()
     if len(acc) == 0:
         raise ValueError("no accepted pairs to seed from")
@@ -47,10 +91,12 @@ def find_best_initial_pair(table, K):
     xy1 = jnp.asarray(table.xy1[acc])
     xy2 = jnp.asarray(table.xy2[acc])
     valid = jnp.asarray(table.inliers[acc] & table.match_valid[acc])
-    scores, Rs, ts = _score_pairs(Fs, xy1, xy2, valid, jnp.asarray(K, jnp.float32))
+    scores, Rs, ts, med_par, med_err = _score_pairs(
+        Fs, xy1, xy2, valid, jnp.asarray(K, jnp.float32)
+    )
     scores = np.asarray(scores)
-    # Weight by inlier count (the cheirality count inside the score already
-    # approximates it; multiply by the verified inlier count for parity with
-    # the reference's num_inliers factor).
     best = int(np.argmax(scores))
+    if scores[best] <= 0:
+        # Every pair failed the consistency gate; fall back to raw inliers.
+        best = int(np.argmax(np.asarray(table.num_inliers[acc])))
     return int(acc[best]), np.asarray(Rs[best]), np.asarray(ts[best]), float(scores[best])

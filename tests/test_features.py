@@ -11,7 +11,13 @@ import jax.numpy as jnp
 from sfm_tpu.config import FeatureConfig
 from sfm_tpu.features import detect_and_describe
 
-CFG = FeatureConfig(max_keypoints=256, num_octaves=3, contrast_threshold=0.01)
+# upsample off: the -1 octave keypoints sit at scales where the synthetic
+# warps' bilinear resampling artifacts dominate the descriptor, which is not
+# what these invariance tests probe.
+CFG = FeatureConfig(
+    max_keypoints=256, num_octaves=3, contrast_threshold=0.01,
+    upsample_first_octave=False,
+)
 
 
 def blob_image(rng, size=128, n_blobs=12, seed_positions=None):
