@@ -96,6 +96,17 @@ class SfMPipeline:
                      "image_paths": [str(p) for p in self.matcher.image_paths]},
                     f,
                 )
+            if len(self.matcher.table.accepted()):
+                # Connectivity-graph PNG (ref image_selector.py:162-218 writes
+                # image_graph.png during selector construction).
+                from sfm_tpu.graph import SfMGraphSelector
+
+                try:
+                    SfMGraphSelector.from_pair_table(self.matcher.table).visualize_graph(
+                        self.output_dir / "image_graph.png"
+                    )
+                except Exception:
+                    logger.warning("graph visualization failed", exc_info=True)
             if self.args.visualize and len(self.matcher.table.accepted()):
                 for p in self.matcher.table.accepted()[:20]:
                     self.matcher.visualize_matches(int(p))
