@@ -51,7 +51,9 @@ class MatchConfig:
 @dataclasses.dataclass(frozen=True)
 class VerifyConfig:
     """Geometric verification gates (find_matches.py:157-214)."""
-    ransac_iters: int = 2048           # fixed hypothesis budget (ref: adaptive cv2)
+    ransac_iters: int = 1024           # fixed hypothesis budget (ref: adaptive cv2);
+                                       # at bunny-level inlier ratios (~0.9) the
+                                       # all-inlier sample probability saturates well below this
     ransac_threshold: float = 3.0      # px, symmetric epipolar (find_matches.py:157)
     min_inliers: int = 15              # find_matches.py:203
     min_inlier_ratio: float = 0.3      # find_matches.py:203

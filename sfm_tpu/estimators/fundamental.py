@@ -59,8 +59,12 @@ def estimate_fundamental_ransac(
     s1 = pts1[idx]  # (iters, 8, 2)
     s2 = pts2[idx]
     # Hypotheses skip the rank-2 SVD (3x3 SVDs x thousands of hypotheses
-    # dominate TPU wall-clock; epipolar scoring is first-order insensitive).
-    Fs = jax.vmap(lambda a, b: eight_point(a, b, enforce_rank2=False))(s1, s2)
+    # dominate TPU wall-clock; epipolar scoring is first-order insensitive)
+    # and use 3 inverse-iteration steps (minimal samples have an exact null
+    # space: convergence is immediate).
+    Fs = jax.vmap(
+        lambda a, b: eight_point(a, b, enforce_rank2=False, null_iters=3)
+    )(s1, s2)
 
     # Score every hypothesis against the scoring subset: (iters, N_score).
     if score_budget and score_budget < pts1.shape[0]:
