@@ -191,11 +191,18 @@ def pnp_ransac(
     inliers = (err_f < threshold) & (depth_f > 0) & valid
     num = jnp.sum(inliers).astype(jnp.int32)
     ok = num >= min_inliers
+
+    # Contract: outputs are always finite, even for degenerate input (all
+    # rows invalid / coincident points) — callers gate on ``ok``, but a NaN
+    # must never leak into downstream state.
+    finite = jnp.isfinite(R).all() & jnp.isfinite(t).all()
+    R = jnp.where(finite, R, jnp.eye(3, dtype=R.dtype))
+    t = jnp.where(finite, t, 0.0)
     return {
         "R": R,
         "t": t,
-        "inliers": inliers,
-        "num_inliers": num,
-        "errors": err_f,
-        "ok": ok,
+        "inliers": inliers & finite,
+        "num_inliers": jnp.where(finite, num, 0),
+        "errors": jnp.where(jnp.isfinite(err_f), err_f, jnp.inf),
+        "ok": ok & finite,
     }
