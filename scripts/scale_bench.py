@@ -1,0 +1,107 @@
+"""Scale harness: N-camera synthetic scene end-to-end (BASELINE.json config #4).
+
+Generates a ring of N cameras around a textured point cloud with persistent
+per-point descriptors, then runs the real pipeline: all-pairs sweep (C(N,2)
+pairs) -> tracks -> incremental reconstruction with BA. Reports per-stage
+wall-clock against the north-star target (<60 s for 100 images, <1 px).
+
+Usage: python scripts/scale_bench.py [n_cams] [n_pts]
+"""
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+from sfm_tpu.config import SfMConfig, MatchConfig, VerifyConfig, CameraConfig, BAConfig
+from sfm_tpu.geometry import project, rotation_to_rvec
+from sfm_tpu.matching import all_pairs_sweep
+from sfm_tpu.reconstruction import StructureFromMotion
+
+T0 = time.time()
+
+
+def log(m):
+    print("[%7.1fs] %s" % (time.time() - T0, m), flush=True)
+
+
+def make_scene(rng, n_cams=100, n_pts=5000, K_budget=1024, D=128, noise_px=0.4):
+    from scipy.spatial.transform import Rotation
+
+    cam = CameraConfig()
+    Kmat = cam.K()
+    # Point cloud on a rough sphere surface (structured like a real object).
+    dirs = rng.normal(size=(n_pts, 3))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    pts = (dirs * rng.uniform(0.8, 1.2, (n_pts, 1))).astype(np.float32)
+    desc_gt = rng.normal(size=(n_pts, D)).astype(np.float32)
+    desc_gt /= np.linalg.norm(desc_gt, axis=1, keepdims=True)
+
+    xy = np.zeros((n_cams, K_budget, 2), np.float32)
+    desc = np.zeros((n_cams, K_budget, D), np.float32)
+    valid = np.zeros((n_cams, K_budget), bool)
+    for c in range(n_cams):
+        ang = 2 * np.pi * c / n_cams
+        R = Rotation.from_euler("zyx", [0.05 * np.sin(3 * ang), ang, 0.1]).as_matrix().astype(np.float32)
+        center = np.array([4.5 * np.sin(ang), 0.4 * np.sin(2 * ang), -4.5 * np.cos(ang)], np.float32)
+        t = -R @ center
+        proj, depth = project(pts, R, t, Kmat)
+        proj = np.asarray(proj)
+        # Front-facing points only (surface visibility: normal toward camera).
+        facing = (pts @ (center / np.linalg.norm(center))) > 0.2
+        vis = np.nonzero(
+            (np.asarray(depth) > 0) & facing
+            & (proj[:, 0] > 10) & (proj[:, 0] < 1014)
+            & (proj[:, 1] > 10) & (proj[:, 1] < 758)
+        )[0]
+        rng.shuffle(vis)
+        vis = vis[:K_budget]
+        n = len(vis)
+        xy[c, :n] = proj[vis] + rng.normal(scale=noise_px, size=(n, 2))
+        d = desc_gt[vis] + 0.03 * rng.normal(size=(n, D))
+        desc[c, :n] = d / np.linalg.norm(d, axis=1, keepdims=True)
+        valid[c, :n] = True
+    return xy, desc, valid
+
+
+def main(n_cams=100, n_pts=5000):
+    rng = np.random.default_rng(0)
+    xy, desc, valid = make_scene(rng, n_cams, n_pts)
+    log("scene: %d cams, %d pts, kps/cam mean %.0f" % (n_cams, n_pts, valid.sum(1).mean()))
+
+    cfg = SfMConfig(
+        matching=MatchConfig(max_matches=1024),
+        verify=VerifyConfig(ransac_iters=1024),
+        ba=BAConfig(max_iterations=20, cg_iters=40, optimize_intrinsics=False,
+                    prune_multiplier=3.0, frequency=10),
+    )
+    t0 = time.time()
+    table = all_pairs_sweep(xy, desc, valid, cfg)
+    t_sweep = time.time() - t0
+    acc = table.accepted()
+    log("sweep: %.1fs for %d pairs (%.0f pairs/s), %d accepted" % (
+        t_sweep, table.num_pairs, table.num_pairs / t_sweep, len(acc)))
+
+    t0 = time.time()
+    sfm = StructureFromMotion(table, xy, cfg)
+    t_tracks = time.time() - t0
+    log("tracks: %.1fs (%d tracks, max len %d)" % (
+        t_tracks, sfm.tracks.num_tracks, sfm.tracks.length.max()))
+
+    t0 = time.time()
+    res = sfm.run_reconstruction()
+    t_rec = time.time() - t0
+    s = res.stats
+    log("reconstruction: %.1fs — cams=%d pts=%d err=%.3f tracklen=%.2f" % (
+        t_rec, s["num_cameras"], s["num_points"],
+        s["mean_reprojection_error"], s["mean_track_length"]))
+    log("TOTAL (sweep+tracks+recon): %.1fs  [north star: <60s, <1px]" % (
+        t_sweep + t_tracks + t_rec))
+
+
+if __name__ == "__main__":
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    p = int(sys.argv[2]) if len(sys.argv) > 2 else 5000
+    main(n, p)

@@ -123,7 +123,11 @@ class SfMGraphSelector:
 
     def compute_node_importance(self) -> Dict[int, float]:
         """importance = 0.4*degree + 0.3*betweenness + 0.3*norm-avg-inliers
-        (ref image_selector.py:47-77)."""
+        (ref image_selector.py:47-77). Cached: the graph is static, and
+        Brandes at 100 nodes costs ~1 s in Python — recomputing it per
+        registration dominated the 100-image reconstruction loop."""
+        if getattr(self, "_importance_cache", None) is not None:
+            return self._importance_cache
         n = len(self.nodes)
         deg = self.degree_centrality()
         btw = self.betweenness_centrality()
@@ -138,7 +142,10 @@ class SfMGraphSelector:
         if avg_inl.max() > 0:
             avg_inl = avg_inl / avg_inl.max()
         scores = 0.4 * deg + 0.3 * btw + 0.3 * avg_inl
-        return {node: float(scores[k]) for k, node in enumerate(self.nodes)}
+        self._importance_cache = {
+            node: float(scores[k]) for k, node in enumerate(self.nodes)
+        }
+        return self._importance_cache
 
     # -- next-best-view -----------------------------------------------------
 

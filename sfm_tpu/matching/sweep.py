@@ -140,9 +140,17 @@ def all_pairs_sweep(
     for c0 in range(0, P + pad, chunk_size):
         chunk = jnp.asarray(pairs_padded[c0 : c0 + chunk_size])
         out = chunk_fn(keys[c0 : c0 + chunk_size], chunk, xy, desc, valid)
+        # Don't download the matched coordinate arrays — they are derivable
+        # from (xy, idx) on host, and device->host bandwidth is the sweep's
+        # second cost after compute (the tunnel runs at ~MB/s).
+        out = {k: v for k, v in out.items() if k not in ("xy1", "xy2")}
         outs.append(jax.tree.map(np.asarray, out))
 
     merged = jax.tree.map(lambda *xs: np.concatenate(xs)[:P], *outs)
+    xy_h = np.asarray(xy)
+    mv = merged["match_valid"][..., None]
+    xy1 = xy_h[pairs[:, 0][:, None], merged["idx1"]] * mv
+    xy2 = xy_h[pairs[:, 1][:, None], merged["idx2"]] * mv
     return PairTable(
         pairs=pairs,
         accept=merged["accept"],
@@ -152,8 +160,8 @@ def all_pairs_sweep(
         reprojection_error=merged["reprojection_error"],
         well_distributed=merged["well_distributed"],
         F=merged["F"],
-        xy1=merged["xy1"],
-        xy2=merged["xy2"],
+        xy1=xy1.astype(np.float32),
+        xy2=xy2.astype(np.float32),
         idx1=merged["idx1"],
         idx2=merged["idx2"],
         match_valid=merged["match_valid"],

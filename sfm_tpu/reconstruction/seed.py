@@ -82,15 +82,25 @@ def _score_pairs(Fs, xy1, xy2, valid, K):
     return jax.vmap(one)(Fs, xy1, xy2, valid)
 
 
-def find_best_initial_pair(table, K):
-    """Pick the seed pair. Returns (pair_row, R, t, score)."""
+def find_best_initial_pair(table, K, max_candidates: int = 256, max_matches: int = 256):
+    """Pick the seed pair. Returns (pair_row, R, t, score).
+
+    Only the ``max_candidates`` highest-inlier accepted pairs compete, each
+    scored on its first ``max_matches`` correspondences (rows are
+    quality-sorted) — at 1000s of accepted pairs the full vmapped scorer
+    would need tens of GB for the 4-candidate cheirality triangulations.
+    """
     acc = table.accepted()
     if len(acc) == 0:
         raise ValueError("no accepted pairs to seed from")
+    if len(acc) > max_candidates:
+        order = np.argsort(-table.num_inliers[acc])[:max_candidates]
+        acc = acc[order]
+    M = min(max_matches, table.xy1.shape[1])
     Fs = jnp.asarray(table.F[acc])
-    xy1 = jnp.asarray(table.xy1[acc])
-    xy2 = jnp.asarray(table.xy2[acc])
-    valid = jnp.asarray(table.inliers[acc] & table.match_valid[acc])
+    xy1 = jnp.asarray(table.xy1[acc][:, :M])
+    xy2 = jnp.asarray(table.xy2[acc][:, :M])
+    valid = jnp.asarray((table.inliers[acc] & table.match_valid[acc])[:, :M])
     scores, Rs, ts, med_par, med_err = _score_pairs(
         Fs, xy1, xy2, valid, jnp.asarray(K, jnp.float32)
     )
