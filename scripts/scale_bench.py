@@ -15,7 +15,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import numpy as np
 
-from sfm_tpu.config import SfMConfig, MatchConfig, VerifyConfig, CameraConfig, BAConfig
+from sfm_tpu.config import (SfMConfig, MatchConfig, VerifyConfig, CameraConfig, BAConfig, TriangulationConfig)
 from sfm_tpu.geometry import project, rotation_to_rvec
 from sfm_tpu.matching import all_pairs_sweep
 from sfm_tpu.reconstruction import StructureFromMotion
@@ -74,8 +74,9 @@ def main(n_cams=100, n_pts=5000):
     cfg = SfMConfig(
         matching=MatchConfig(max_matches=1024),
         verify=VerifyConfig(ransac_iters=1024),
-        ba=BAConfig(max_iterations=20, cg_iters=40, optimize_intrinsics=False,
+        ba=BAConfig(max_iterations=15, cg_iters=40, optimize_intrinsics=False,
                     prune_multiplier=3.0, frequency=10),
+        triangulation=TriangulationConfig(cadence=2),
     )
     t0 = time.time()
     table = all_pairs_sweep(xy, desc, valid, cfg)

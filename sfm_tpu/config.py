@@ -82,6 +82,9 @@ class PnPConfig:
 class TriangulationConfig:
     max_reproj_error: float = 4.0      # px gate (sfm_reconstruction.py:299)
     min_views: int = 2
+    cadence: int = 1                   # (re)triangulate every k registrations
+                                       # (1 = reference behavior; >1 trades
+                                       # point freshness for loop wall-clock)
     min_parallax_deg: float = 0.0      # optional parallax gate (0 = off, ref has none)
 
 

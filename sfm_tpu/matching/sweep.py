@@ -136,15 +136,26 @@ def all_pairs_sweep(
     keys = jax.random.split(key, P + pad)
 
     chunk_fn = jax.jit(_sweep_chunk_fn(config))
-    outs = []
+
+    def slim(out):
+        """Shrink the per-chunk download: coordinates are derivable from
+        (xy, idx) on host, and keypoint ids fit in int16 — device->host
+        bandwidth is the sweep's second cost after compute."""
+        out = {k: v for k, v in out.items() if k not in ("xy1", "xy2")}
+        if xy.shape[1] < 32768:  # keypoint ids fit in int16
+            out["idx1"] = out["idx1"].astype(jnp.int16)
+            out["idx2"] = out["idx2"].astype(jnp.int16)
+        return out
+
+    # Dispatch every chunk first (device queue), then download: overlaps the
+    # chunk k+1 compute with the chunk k transfer instead of serializing them.
+    pending = []
     for c0 in range(0, P + pad, chunk_size):
         chunk = jnp.asarray(pairs_padded[c0 : c0 + chunk_size])
-        out = chunk_fn(keys[c0 : c0 + chunk_size], chunk, xy, desc, valid)
-        # Don't download the matched coordinate arrays — they are derivable
-        # from (xy, idx) on host, and device->host bandwidth is the sweep's
-        # second cost after compute (the tunnel runs at ~MB/s).
-        out = {k: v for k, v in out.items() if k not in ("xy1", "xy2")}
-        outs.append(jax.tree.map(np.asarray, out))
+        pending.append(
+            slim(chunk_fn(keys[c0 : c0 + chunk_size], chunk, xy, desc, valid))
+        )
+    outs = [jax.tree.map(np.asarray, out) for out in pending]
 
     merged = jax.tree.map(lambda *xs: np.concatenate(xs)[:P], *outs)
     xy_h = np.asarray(xy)
@@ -162,8 +173,8 @@ def all_pairs_sweep(
         F=merged["F"],
         xy1=xy1.astype(np.float32),
         xy2=xy2.astype(np.float32),
-        idx1=merged["idx1"],
-        idx2=merged["idx2"],
+        idx1=merged["idx1"].astype(np.int32),
+        idx2=merged["idx2"].astype(np.int32),
         match_valid=merged["match_valid"],
         inliers=merged["inliers"],
     )

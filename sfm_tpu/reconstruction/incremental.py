@@ -393,7 +393,8 @@ class StructureFromMotion:
             progressed = False
             for img, _score in candidates:
                 if self.register_image(int(img)):
-                    self._triangulate()
+                    if len(self.reg_order) % self.config.triangulation.cadence == 0:
+                        self._triangulate()
                     progressed = True
                     break
             if not progressed:
