@@ -85,6 +85,9 @@ def main(n_cams=100, n_pts=5000):
     log("sweep: %.1fs for %d pairs (%.0f pairs/s), %d accepted" % (
         t_sweep, table.num_pairs, table.num_pairs / t_sweep, len(acc)))
 
+    import pickle
+    with open("/tmp/scale_table.pkl", "wb") as f:
+        pickle.dump({"table": table, "xy": xy}, f)
     t0 = time.time()
     sfm = StructureFromMotion(table, xy, cfg)
     t_tracks = time.time() - t0

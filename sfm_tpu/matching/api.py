@@ -182,6 +182,35 @@ class ImageMatcher:
             )
         return csv_path
 
+    def visualize_features_with_mask(self, image_index: int, out_path=None):
+        """Keypoints over the image with the silhouette mask shaded
+        (ref visualize_features_with_mask :26-47)."""
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        p = self.image_paths[image_index]
+        img = load_image_gray(p)
+        mask = self._mask_for(p)
+        fig, ax = plt.subplots(figsize=(10, 7.5))
+        ax.imshow(img, cmap="gray")
+        if mask is not None:
+            overlay = np.zeros(img.shape + (4,), np.float32)
+            overlay[~mask] = (1.0, 0.2, 0.2, 0.25)  # shade background
+            ax.imshow(overlay)
+        if self.features is not None:
+            v = self.features["valid"][image_index]
+            xy = self.features["xy"][image_index][v]
+            ax.scatter(xy[:, 0], xy[:, 1], s=6, c="lime", marker="x", lw=0.8)
+            ax.set_title(f"{p.name}: {int(v.sum())} keypoints")
+        ax.set_axis_off()
+        if out_path is None:
+            out_path = self.output_dir / "visualizations" / f"features_{p.stem}.png"
+        fig.savefig(out_path, dpi=100, bbox_inches="tight")
+        plt.close(fig)
+        return out_path
+
     def visualize_matches(self, pair_row: int, out_path=None):
         """Side-by-side match overlay: green inliers, red outliers
         (ref visualize_matches :216-244)."""

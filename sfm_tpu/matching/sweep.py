@@ -147,17 +147,20 @@ def all_pairs_sweep(
             out["idx2"] = out["idx2"].astype(jnp.int16)
         return out
 
-    # Dispatch every chunk first (device queue), then download: overlaps the
-    # chunk k+1 compute with the chunk k transfer instead of serializing them.
+    # Dispatch every chunk first (device queue), then concatenate per field
+    # ON DEVICE and download once in ~1 MB slices: the tunnel's device->host
+    # path is latency-bound (~90 ms/transfer), so hundreds of small per-chunk
+    # downloads would dominate the sweep wall-clock.
+    from sfm_tpu.utils.transfer import device_get_chunked
+
     pending = []
     for c0 in range(0, P + pad, chunk_size):
         chunk = jnp.asarray(pairs_padded[c0 : c0 + chunk_size])
         pending.append(
             slim(chunk_fn(keys[c0 : c0 + chunk_size], chunk, xy, desc, valid))
         )
-    outs = [jax.tree.map(np.asarray, out) for out in pending]
-
-    merged = jax.tree.map(lambda *xs: np.concatenate(xs)[:P], *outs)
+    merged_dev = jax.tree.map(lambda *xs: jnp.concatenate(xs)[:P], *pending)
+    merged = device_get_chunked(merged_dev)
     xy_h = np.asarray(xy)
     mv = merged["match_valid"][..., None]
     xy1 = xy_h[pairs[:, 0][:, None], merged["idx1"]] * mv

@@ -157,6 +157,7 @@ class StructureFromMotion:
         )
         self._key = jax.random.key(config.seed)
         self._ba_calls = 0
+        self.stage_s = {"select": 0.0, "pnp": 0.0, "triangulate": 0.0, "ba": 0.0}
 
     # ------------------------------------------------------------------ utils
 
@@ -186,6 +187,7 @@ class StructureFromMotion:
 
     def _triangulate(self):
         """(Re)triangulate all tracks that lack a point but are now viewable."""
+        _t0 = time.time()
         active = ~self.point_valid & (self.tracks.length >= self.config.triangulation.min_views)
         if not active.any():
             return 0
@@ -203,6 +205,7 @@ class StructureFromMotion:
         ok = np.asarray(ok)
         self.points[ok] = np.asarray(pts)[ok]
         self.point_valid |= ok
+        self.stage_s["triangulate"] += time.time() - _t0
         return int(ok.sum())
 
     def _pnp_correspondences(self, img: int):
@@ -216,9 +219,11 @@ class StructureFromMotion:
 
     def register_image(self, img: int) -> bool:
         """PnP-register one image (ref add_new_image :309-339)."""
+        _t0 = time.time()
         t_ids, pts3d, xy = self._pnp_correspondences(img)
         n = len(t_ids)
         if n < self.config.pnp.min_inliers:
+            self.stage_s["pnp"] += time.time() - _t0
             return False
         budget = _PNP_BUDGET
         p3 = np.zeros((budget, 3), np.float32)
@@ -235,7 +240,9 @@ class StructureFromMotion:
             sample_size=self.config.pnp.sample_size,
         )
         if not bool(out["ok"]):
+            self.stage_s["pnp"] += time.time() - _t0
             return False
+        self.stage_s["pnp"] += time.time() - _t0
         self.rvec[img] = np.asarray(rotation_to_rvec(out["R"]))
         self.tvec[img] = np.asarray(out["t"])
         self.registered[img] = True
@@ -275,11 +282,13 @@ class StructureFromMotion:
             obs_valid=obs_valid, cam_fixed=cam_fixed,
         )
         cfg = self.config.ba
+        _t0 = time.time()
         out, stats = run_ba(
             prob, cfg,
             optimize_intrinsics=cfg.optimize_intrinsics,
         )
         self._ba_calls += 1
+        self.stage_s["ba"] += time.time() - _t0
         logger.info(
             "BA #%d: cost %.1f -> %.1f (%d its, rms %.3f px)",
             self._ba_calls, float(stats["initial_cost"]), float(stats["final_cost"]),
@@ -384,9 +393,11 @@ class StructureFromMotion:
         # (sfm_reconstruction.py:696-698).
         retried_after_ba = False
         while len(self.reg_order) < limit:
+            _t0 = time.time()
             candidates = self.selector.find_next_best_images(
                 [i for i in self.reg_order], top_k=self.num_images
             )
+            self.stage_s["select"] += time.time() - _t0
             if not candidates:
                 logger.info("no more connected candidates")
                 break
@@ -424,6 +435,7 @@ class StructureFromMotion:
             self.bundle_adjust(final=True)
         stats = self.compute_stats()
         stats["wall_clock_s"] = time.time() - t_start
+        stats["stage_s"] = {k: round(v, 2) for k, v in self.stage_s.items()}
         logger.info("reconstruction: %s", stats)
         return self._result(stats)
 
