@@ -200,6 +200,9 @@ def pnp_ransac(
     t = jnp.where(finite, t, 0.0)
     return {
         "R": R,
+        "rvec": rotation_to_rvec(R),  # in-jit: eager conversion on the host
+                                      # loop costs ~1.5 s/call over the
+                                      # remote-TPU tunnel (per-op dispatch)
         "t": t,
         "inliers": inliers & finite,
         "num_inliers": jnp.where(finite, num, 0),

@@ -243,7 +243,7 @@ class StructureFromMotion:
             self.stage_s["pnp"] += time.time() - _t0
             return False
         self.stage_s["pnp"] += time.time() - _t0
-        self.rvec[img] = np.asarray(rotation_to_rvec(out["R"]))
+        self.rvec[img] = np.asarray(out["rvec"])
         self.tvec[img] = np.asarray(out["t"])
         self.registered[img] = True
         self.reg_order.append(img)
