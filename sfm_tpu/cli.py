@@ -103,7 +103,15 @@ def main(argv=None) -> int:
         visualize=getattr(args, "visualize", False),
     )
     try:
-        pipe = SfMPipeline(pargs, SfMConfig())
+        from sfm_tpu.config import PnPConfig
+        import dataclasses
+
+        cfg = SfMConfig()
+        if pargs.min_matches != 20:
+            cfg = cfg.replace(
+                pnp=dataclasses.replace(cfg.pnp, min_matches=pargs.min_matches)
+            )
+        pipe = SfMPipeline(pargs, cfg)
         if args.command == "preprocess":
             ok = pipe.run_preprocessing()
         elif args.command == "reconstruct":

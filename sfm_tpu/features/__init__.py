@@ -15,5 +15,9 @@ ratio contract (ref find_matches.py:141-155); silhouette-mask gating keeps the
 reference's semantics (ref find_matches.py:120-137).
 """
 
-from sfm_tpu.features.frontend import detect_and_describe, Features  # noqa: F401
+from sfm_tpu.features.frontend import (  # noqa: F401
+    detect_and_describe,
+    detect_and_describe_batch,
+    Features,
+)
 from sfm_tpu.features.pyramid import build_pyramid, gaussian_blur  # noqa: F401

@@ -136,3 +136,25 @@ def detect_and_describe(
     if mask is None:
         mask = jnp.ones((1, 1), dtype=bool)  # placeholder, unused
     return _detect_impl(image, jnp.asarray(mask, bool), config, has_mask)
+
+
+@partial(jax.jit, static_argnames=("config", "has_mask"))
+def _detect_batch_impl(images, masks, config: FeatureConfig, has_mask: bool):
+    return jax.vmap(lambda im, mk: _detect_impl(im, mk, config, has_mask))(
+        images, masks
+    )
+
+
+def detect_and_describe_batch(
+    images, masks=None, config: FeatureConfig = FeatureConfig()
+) -> Features:
+    """Batched frontend: (N, H, W) images -> Features with leading axis N.
+
+    One jitted dispatch for the whole batch — on a remote-tunneled TPU the
+    per-call dispatch overhead of N separate detects dominates otherwise.
+    """
+    images = jnp.asarray(images, jnp.float32)
+    has_mask = masks is not None
+    if masks is None:
+        masks = jnp.ones((images.shape[0], 1, 1), dtype=bool)
+    return _detect_batch_impl(images, jnp.asarray(masks, bool), config, has_mask)

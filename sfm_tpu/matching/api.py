@@ -21,7 +21,7 @@ import numpy as np
 
 from sfm_tpu.config import SfMConfig
 from sfm_tpu.io.images import load_image_gray, load_mask
-from sfm_tpu.features import detect_and_describe
+from sfm_tpu.features import detect_and_describe, detect_and_describe_batch
 from sfm_tpu.matching.sweep import all_pairs_sweep, candidate_pairs, PairTable
 
 logger = logging.getLogger(__name__)
@@ -83,22 +83,34 @@ class ImageMatcher:
         if not self.image_paths:
             raise FileNotFoundError(f"no images in {self.image_dir}")
         t0 = time.time()
-        feats = []
-        for p in self.image_paths:
-            img = load_image_gray(p)
-            mask = self._mask_for(p) if use_mask else None
-            feats.append(detect_and_describe(img, mask, config=self.config.features))
+        imgs = [load_image_gray(p) for p in self.image_paths]
+        masks = [self._mask_for(p) if use_mask else None for p in self.image_paths]
+        from sfm_tpu.utils.transfer import device_get_chunked
+
+        same_shape = len({im.shape for im in imgs}) == 1
+        all_masked = all(m is not None for m in masks)
+        if same_shape and (all_masked or not any(m is not None for m in masks)):
+            # One dispatch for the whole batch (vmapped frontend).
+            f = detect_and_describe_batch(
+                np.stack(imgs),
+                np.stack(masks) if all_masked else None,
+                config=self.config.features,
+            )
+            desc_d, xy_d, valid_d = f.desc, f.xy, f.valid
+        else:
+            import jax.numpy as jnp
+
+            feats = [
+                detect_and_describe(im, mk, config=self.config.features)
+                for im, mk in zip(imgs, masks)
+            ]
+            desc_d = jnp.stack([f.desc for f in feats])
+            xy_d = jnp.stack([f.xy for f in feats])
+            valid_d = jnp.stack([f.valid for f in feats])
         # Descriptors stay device-resident (the sweep consumes them there and
         # they are ~MBs — the tunnel's device->host path is slow); only the
         # small keypoint tables come back to host, in chunked transfers.
-        import jax.numpy as jnp
-
-        from sfm_tpu.utils.transfer import device_get_chunked
-
-        desc_d = jnp.stack([f.desc for f in feats])
-        xy, valid = device_get_chunked(
-            (jnp.stack([f.xy for f in feats]), jnp.stack([f.valid for f in feats]))
-        )
+        xy, valid = device_get_chunked((xy_d, valid_d))
         self.features = {"xy": xy, "desc": desc_d, "valid": valid}
         logger.info(
             "detected features for %d images in %.1fs (mean %d kps)",
