@@ -146,15 +146,33 @@ def _detect_batch_impl(images, masks, config: FeatureConfig, has_mask: bool):
 
 
 def detect_and_describe_batch(
-    images, masks=None, config: FeatureConfig = FeatureConfig()
+    images, masks=None, config: FeatureConfig = FeatureConfig(),
+    batch_size: int = 4,
 ) -> Features:
     """Batched frontend: (N, H, W) images -> Features with leading axis N.
 
-    One jitted dispatch for the whole batch — on a remote-tunneled TPU the
-    per-call dispatch overhead of N separate detects dominates otherwise.
+    Dispatches in sub-batches of ``batch_size``: one vmapped program per
+    sub-batch amortizes the per-call dispatch overhead (dominant on a
+    remote-tunneled TPU), while the cap bounds the vmap's working set — the
+    un-fused pyramid grids of a full 36-image batch need ~47 GB HBM.
     """
+    import numpy as np
+
     images = jnp.asarray(images, jnp.float32)
+    N = images.shape[0]
     has_mask = masks is not None
     if masks is None:
-        masks = jnp.ones((images.shape[0], 1, 1), dtype=bool)
-    return _detect_batch_impl(images, jnp.asarray(masks, bool), config, has_mask)
+        masks = jnp.ones((N, 1, 1), dtype=bool)
+    masks = jnp.asarray(masks, bool)
+
+    B = min(batch_size, N)
+    pad = (-N) % B
+    if pad:
+        images = jnp.concatenate([images, jnp.repeat(images[-1:], pad, 0)])
+        masks = jnp.concatenate([masks, jnp.repeat(masks[-1:], pad, 0)])
+    outs = [
+        _detect_batch_impl(images[c : c + B], masks[c : c + B], config, has_mask)
+        for c in range(0, N + pad, B)
+    ]
+    merged = jax.tree.map(lambda *xs: jnp.concatenate(xs)[:N], *outs)
+    return Features(*merged)

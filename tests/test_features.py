@@ -114,3 +114,31 @@ class TestMatchingInvariance:
         pred = (xy1 - c) @ R + c  # scipy rotates CCW in array coords
         err = np.linalg.norm(pred - xy2, axis=1)
         assert np.median(err) < 3.0
+
+
+class TestBatchedDetection:
+    def test_batch_matches_single(self, rng):
+        from sfm_tpu.features import detect_and_describe_batch
+
+        imgs = np.stack([blob_image(rng, size=96, n_blobs=6)[0] for _ in range(5)])
+        fb = detect_and_describe_batch(imgs, config=CFG, batch_size=2)
+        assert fb.xy.shape[0] == 5
+        for i in range(5):
+            fs = detect_and_describe(imgs[i], config=CFG)
+            np.testing.assert_array_equal(np.asarray(fb.valid[i]), np.asarray(fs.valid))
+            v = np.asarray(fs.valid)
+            np.testing.assert_allclose(
+                np.asarray(fb.xy[i])[v], np.asarray(fs.xy)[v], atol=1e-4
+            )
+
+    def test_batch_with_masks(self, rng):
+        from sfm_tpu.features import detect_and_describe_batch
+
+        imgs = np.stack([blob_image(rng, size=96, n_blobs=6)[0] for _ in range(3)])
+        masks = np.zeros((3, 96, 96), bool)
+        masks[:, :, :48] = True
+        fb = detect_and_describe_batch(imgs, masks, config=CFG)
+        for i in range(3):
+            v = np.asarray(fb.valid[i])
+            if v.sum():
+                assert (np.asarray(fb.xy[i])[v][:, 0] <= 48.5).all()
