@@ -33,8 +33,6 @@ FEATS_CACHE = Path("/tmp/bunny_feats_bench.npz")
 def get_features(cfg):
     """Detect features for all bunny images (cached across bench runs)."""
     import jax
-    from sfm_tpu.io.images import load_image_gray, load_mask
-    from sfm_tpu.features import detect_and_describe
     from sfm_tpu.utils.transfer import device_get_chunked
 
     if FEATS_CACHE.exists():
@@ -42,16 +40,16 @@ def get_features(cfg):
         return z["xy"], z["desc"], z["valid"]
     import jax.numpy as jnp
 
+    from sfm_tpu.io.native import load_gray_batch, load_mask_batch, probe
+    from sfm_tpu.features import detect_and_describe_batch
+
     imgs = sorted((BUNNY / "images").glob("*.ppm"))
     masks = sorted((BUNNY / "silhouettes").glob("*.pgm"))
-    feats = [
-        detect_and_describe(load_image_gray(i), load_mask(m), config=cfg.features)
-        for i, m in zip(imgs, masks)
-    ]
-    xy = jnp.stack([f.xy for f in feats])
-    desc = jnp.stack([f.desc for f in feats])
-    valid = jnp.stack([f.valid for f in feats])
-    xy_h, desc_h, valid_h = device_get_chunked((xy, desc, valid))
+    h, w, _ = probe(imgs[0])
+    gray = load_gray_batch(imgs, h, w)
+    mk = load_mask_batch(masks, h, w)
+    f = detect_and_describe_batch(gray, mk, config=cfg.features)
+    xy_h, desc_h, valid_h = device_get_chunked((f.xy, f.desc, f.valid))
     np.savez(FEATS_CACHE, xy=xy_h, desc=desc_h, valid=valid_h)
     return xy_h, desc_h, valid_h
 

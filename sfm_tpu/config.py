@@ -76,6 +76,7 @@ class PnPConfig:
                                        # all-inlier probability usable at the
                                        # ~0.35 inlier ratios of late
                                        # registrations (0.35^6 vs 0.35^8)
+    budget: int = 2048                 # padded 2D-3D correspondence capacity
 
 
 @dataclasses.dataclass(frozen=True)

@@ -37,7 +37,6 @@ from sfm_tpu.reconstruction.seed import find_best_initial_pair
 
 logger = logging.getLogger(__name__)
 
-_PNP_BUDGET = 4096
 
 
 @partial(jax.jit, static_argnames=("max_err",))
@@ -225,7 +224,7 @@ class StructureFromMotion:
         if n < self.config.pnp.min_inliers:
             self.stage_s["pnp"] += time.time() - _t0
             return False
-        budget = _PNP_BUDGET
+        budget = self.config.pnp.budget
         p3 = np.zeros((budget, 3), np.float32)
         p2 = np.zeros((budget, 2), np.float32)
         valid = np.zeros(budget, bool)
