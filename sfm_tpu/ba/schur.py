@@ -156,14 +156,19 @@ def pcg_solve(op: SchurOperator, rhs_c, rhs_k, iters: int, tol: float):
     rz = dot(rc, rk, zc, zk)
     rhs_norm = jnp.sqrt(dot(rhs_c, rhs_k, rhs_c, rhs_k))
 
-    def body(_, state):
-        xc, xk, rc, rk, pc, pk, rz = state
+    # Early-exit CG: a while_loop actually stops at convergence — a frozen
+    # fori_loop still pays for its matvecs (the dominant BA cost).
+    def cond(state):
+        i, xc, xk, rc, rk, pc, pk, rz = state
+        return (i < iters) & (
+            jnp.sqrt(dot(rc, rk, rc, rk)) > tol * rhs_norm
+        )
+
+    def body(state):
+        i, xc, xk, rc, rk, pc, pk, rz = state
         Apc, Apk = schur_matvec(op, pc, pk)
         pAp = dot(pc, pk, Apc, Apk)
         alpha = jnp.where(pAp > _EPS, rz / pAp, 0.0)
-        # Freeze updates once the residual is small enough (static trip count).
-        active = jnp.sqrt(dot(rc, rk, rc, rk)) > tol * rhs_norm
-        alpha = jnp.where(active, alpha, 0.0)
         xc = xc + alpha * pc
         xk = xk + alpha * pk
         rc = rc - alpha * Apc
@@ -173,9 +178,10 @@ def pcg_solve(op: SchurOperator, rhs_c, rhs_k, iters: int, tol: float):
         beta = jnp.where(rz > _EPS, rz_new / rz, 0.0)
         pc = zc + beta * pc
         pk = zk + beta * pk
-        return xc, xk, rc, rk, pc, pk, rz_new
+        return i + 1, xc, xk, rc, rk, pc, pk, rz_new
 
-    xc, xk, *_ = jax.lax.fori_loop(0, iters, body, (xc, xk, rc, rk, pc, pk, rz))
+    state = (jnp.int32(0), xc, xk, rc, rk, pc, pk, rz)
+    _, xc, xk, *_ = jax.lax.while_loop(cond, body, state)
     return xc, xk
 
 
