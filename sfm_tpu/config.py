@@ -60,6 +60,9 @@ class VerifyConfig:
     max_reproj_error: float = 2.0      # px, mean inlier error (find_matches.py:203)
     min_spread: float = 20.0           # px std both axes/images (find_matches.py:185)
     min_raw_matches: int = 8           # need >=8 for the 8-point solver
+    rescue_disconnected: bool = True   # re-admit the best sub-gate pair of an
+                                       # otherwise pairless image (the ref
+                                       # just loses such cameras)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -77,6 +80,16 @@ class PnPConfig:
                                        # ~0.35 inlier ratios of late
                                        # registrations (0.35^6 vs 0.35^8)
     budget: int = 2048                 # padded 2D-3D correspondence capacity
+    min_inlier_ratio: float = 0.4      # PnP consensus must also cover this
+                                       # fraction of the correspondence pool
+                                       # (one low-ratio registration measurably
+                                       # poisons BA: bunny 0.30 -> 1.02 px);
+                                       # the ref has no such gate
+    min_inliers_floor: int = 6         # weak-connectivity fallback gate: an
+                                       # image whose whole correspondence pool
+                                       # is < min_inliers may register at
+                                       # max(floor, 0.8*pool) — BA + pruning
+                                       # contain the extra risk
 
 
 @dataclasses.dataclass(frozen=True)

@@ -80,6 +80,38 @@ def candidate_pairs(num_images: int) -> np.ndarray:
     return np.stack([i, j], axis=-1).astype(np.int32)
 
 
+def rescue_disconnected(table: PairTable, num_images: int,
+                        min_inliers: int = 8, min_ratio: float = 0.15) -> int:
+    """Second-chance acceptance for images with no verified pair.
+
+    The hard gates (>=15 inliers etc., ref find_matches.py:203-214) can leave
+    an image with zero accepted pairs, which makes it unregisterable — the
+    reference simply loses such cameras (image 0 of bunny has NO pair in its
+    shipped CSV). For each disconnected image, re-admit its best pair under
+    relaxed gates; downstream PnP/BA/pruning contain the extra risk. Returns
+    the number of rescued pairs. Mutates ``table.accept`` in place.
+    """
+    deg = np.zeros(num_images, np.int64)
+    for p in table.accepted():
+        i, j = table.pairs[p]
+        deg[i] += 1
+        deg[j] += 1
+    rescued = 0
+    for img in np.nonzero(deg == 0)[0]:
+        rows = np.nonzero(
+            ((table.pairs[:, 0] == img) | (table.pairs[:, 1] == img))
+            & ~table.accept
+            & (table.num_inliers >= min_inliers)
+            & (table.inlier_ratio >= min_ratio)
+        )[0]
+        if len(rows) == 0:
+            continue
+        best = rows[np.argmax(table.num_inliers[rows])]
+        table.accept[best] = True
+        rescued += 1
+    return rescued
+
+
 def _sweep_chunk_fn(config: SfMConfig):
     """Build the jitted chunk program: (keys, pair_idx chunk, stacked feats) -> dicts."""
     mc, vc = config.matching, config.verify

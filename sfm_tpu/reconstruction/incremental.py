@@ -131,6 +131,12 @@ class StructureFromMotion:
         self.config = config
         self.num_images = self.xy.shape[0]
         self.K = config.camera.K()
+        if config.verify.rescue_disconnected:
+            from sfm_tpu.matching.sweep import rescue_disconnected
+
+            n_rescued = rescue_disconnected(table, self.num_images)
+            if n_rescued:
+                logger.info("rescued %d sub-gate pairs for pairless images", n_rescued)
         self.selector = SfMGraphSelector.from_pair_table(table)
         self.tracks: TrackTable = build_tracks(table, self.xy, self.num_images)
         logger.info(
@@ -156,7 +162,8 @@ class StructureFromMotion:
         )
         self._key = jax.random.key(config.seed)
         self._ba_calls = 0
-        self.stage_s = {"select": 0.0, "pnp": 0.0, "triangulate": 0.0, "ba": 0.0}
+        self.stage_s = {"select": 0.0, "pnp": 0.0, "triangulate": 0.0, "ba": 0.0,
+                        "init": 0.0, "prune": 0.0, "stats": 0.0, "assemble": 0.0}
 
     # ------------------------------------------------------------------ utils
 
@@ -172,7 +179,9 @@ class StructureFromMotion:
 
     def initialize(self) -> Tuple[int, int]:
         """Seed-pair two-view initialization (ref :61-155)."""
+        _t0 = time.time()
         row, R, t, score = find_best_initial_pair(self.table, self._camera_matrix())
+        self.stage_s["init"] += time.time() - _t0
         i, j = (int(v) for v in self.table.pairs[row])
         logger.info("seed pair (%d, %d) score %.1f", i, j, score)
         self.rvec[i] = 0.0
@@ -216,12 +225,22 @@ class StructureFromMotion:
         xy = self.tracks.view_xy[t_ids, v_ids]
         return t_ids, pts3d, xy
 
-    def register_image(self, img: int) -> bool:
-        """PnP-register one image (ref add_new_image :309-339)."""
+    def register_image(self, img: int, weak: bool = False) -> bool:
+        """PnP-register one image (ref add_new_image :309-339).
+
+        ``weak``: last-resort mode — if the image's whole correspondence pool
+        cannot reach the standard gate, lower it (bounded below). Only the
+        final retry round uses this; applying it eagerly lets marginal images
+        register badly before their pool grows (measured: bunny error 0.30 ->
+        1.02 px when the fallback ran in the normal flow).
+        """
         _t0 = time.time()
         t_ids, pts3d, xy = self._pnp_correspondences(img)
         n = len(t_ids)
-        if n < self.config.pnp.min_inliers:
+        gate = self.config.pnp.min_inliers
+        if weak and n < gate:
+            gate = max(self.config.pnp.min_inliers_floor, int(0.8 * n))
+        if n < gate:
             self.stage_s["pnp"] += time.time() - _t0
             return False
         budget = self.config.pnp.budget
@@ -234,11 +253,13 @@ class StructureFromMotion:
             self._next_key(), p3, p2, valid, self._camera_matrix(),
             iters=self.config.pnp.ransac_iters,
             threshold=self.config.pnp.reproj_threshold,
-            min_inliers=self.config.pnp.min_inliers,
+            min_inliers=gate,
             refine_iters=self.config.pnp.refine_iters,
             sample_size=self.config.pnp.sample_size,
         )
-        if not bool(out["ok"]):
+        n_inl = int(out["num_inliers"])
+        ratio_ok = n_inl >= self.config.pnp.min_inlier_ratio * min(n, budget)
+        if not (bool(out["ok"]) and (ratio_ok or weak)):
             self.stage_s["pnp"] += time.time() - _t0
             return False
         self.stage_s["pnp"] += time.time() - _t0
@@ -247,8 +268,7 @@ class StructureFromMotion:
         self.registered[img] = True
         self.reg_order.append(img)
         logger.info(
-            "registered image %d (%d/%d PnP inliers)",
-            img, int(out["num_inliers"]), n,
+            "registered image %d (%d/%d PnP inliers)", img, n_inl, n,
         )
         return True
 
@@ -270,7 +290,9 @@ class StructureFromMotion:
 
     def bundle_adjust(self, final: bool = False):
         """Run the sparse LM program on the current state (ref :401-549)."""
+        _ta = time.time()
         obs_cam, obs_point, obs_xy, obs_valid = self._ba_problem_arrays()
+        self.stage_s["assemble"] += time.time() - _ta
         cam_fixed = np.zeros(self.num_images, bool)
         if self.reg_order:
             cam_fixed[self.reg_order[0]] = True
@@ -287,7 +309,6 @@ class StructureFromMotion:
             optimize_intrinsics=cfg.optimize_intrinsics,
         )
         self._ba_calls += 1
-        self.stage_s["ba"] += time.time() - _t0
         logger.info(
             "BA #%d: cost %.1f -> %.1f (%d its, rms %.3f px)",
             self._ba_calls, float(stats["initial_cost"]), float(stats["final_cost"]),
@@ -297,6 +318,7 @@ class StructureFromMotion:
         self.tvec = np.array(out.tvec)[: self.num_images]
         self.intr = np.array(out.intr)
         self.points = np.array(out.points)[: self.points.shape[0]]
+        self.stage_s["ba"] += time.time() - _t0  # after the syncing downloads
         if self.config.ba.prune_multiplier > 0:
             self.prune_observations(
                 self.config.ba.prune_multiplier
@@ -311,6 +333,7 @@ class StructureFromMotion:
         """
         if threshold is None:
             threshold = self.config.triangulation.max_reproj_error * 2.0
+        _t0 = time.time()
         err, use = map(np.asarray, _reproj_stats(
             jnp.asarray(self.tracks.view_img),
             jnp.asarray(self.tracks.view_xy),
@@ -323,6 +346,7 @@ class StructureFromMotion:
             jnp.asarray(self.point_valid),
         ))
         bad = use & (err > threshold)
+        self.stage_s["prune"] += time.time() - _t0
         if not bad.any():
             return 0
         self.view_valid &= ~bad
@@ -409,8 +433,18 @@ class StructureFromMotion:
                     break
             if not progressed:
                 if retried_after_ba:
-                    logger.info("no candidate registered; stopping")
-                    break
+                    # Last resort: weak-gate registration for images whose
+                    # correspondence pool can never reach the standard gate.
+                    for img, _score in candidates:
+                        if self.register_image(int(img), weak=True):
+                            self._triangulate()
+                            progressed = True
+                            break
+                    if not progressed:
+                        logger.info("no candidate registered; stopping")
+                        break
+                    retried_after_ba = False
+                    continue
                 logger.info("all candidates failed; running BA and retrying")
                 self.bundle_adjust()
                 self._triangulate()
@@ -442,6 +476,7 @@ class StructureFromMotion:
 
     def compute_stats(self) -> dict:
         """Mean/max reprojection error, track lengths, counts (ref :582-631)."""
+        _t0 = time.time()
         err, use = _reproj_stats(
             jnp.asarray(self.tracks.view_img),
             jnp.asarray(self.tracks.view_xy),
@@ -457,6 +492,7 @@ class StructureFromMotion:
         use = np.asarray(use)
         n_obs = int(use.sum())
         lengths = use.sum(axis=1)[self.point_valid]
+        self.stage_s["stats"] += time.time() - _t0
         return {
             "num_cameras": int(self.registered.sum()),
             "num_points": int(self.point_valid.sum()),
