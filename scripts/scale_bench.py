@@ -105,7 +105,23 @@ def main(n_cams=100, n_pts=5000):
         t_sweep + t_tracks + t_rec))
 
 
+def sweep_only(n_cams, n_pts):
+    """Matching-scale probe (config #5 direction): sweep throughput at N."""
+    rng = np.random.default_rng(0)
+    xy, desc, valid = make_scene(rng, n_cams, n_pts)
+    log("scene: %d cams (%d candidate pairs)" % (n_cams, n_cams * (n_cams - 1) // 2))
+    cfg = SfMConfig()
+    t0 = time.time()
+    table = all_pairs_sweep(xy, desc, valid, cfg)
+    dt = time.time() - t0
+    log("sweep: %.1fs for %d pairs (%.0f pairs/s), %d accepted" % (
+        dt, table.num_pairs, table.num_pairs / dt, len(table.accepted())))
+
+
 if __name__ == "__main__":
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 100
     p = int(sys.argv[2]) if len(sys.argv) > 2 else 5000
-    main(n, p)
+    if len(sys.argv) > 3 and sys.argv[3] == "sweep":
+        sweep_only(n, p)
+    else:
+        main(n, p)

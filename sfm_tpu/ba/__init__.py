@@ -24,3 +24,8 @@ serves the whole incremental reconstruction as the scene grows.
 
 from sfm_tpu.ba.problem import BAProblem  # noqa: F401
 from sfm_tpu.ba.lm import run_ba  # noqa: F401
+from sfm_tpu.ba.blocked import (  # noqa: F401
+    BlockedBAProblem,
+    build_blocked_problem,
+    run_ba_blocked,
+)

@@ -1,0 +1,287 @@
+"""Blocked-layout bundle adjustment: observations shaped (P, V).
+
+The flat observation table (ba/lm.py) pays for TPU scatters in every
+point-side segment reduction — the dominant cost of the Schur matvec. But SfM
+observations are naturally grouped by track: the incremental engine's track
+table is already (T, V) (tracks x views, padded). Keeping that shape makes
+every point-side reduction a *dense* axis-1 einsum (VPU/MXU, no scatter);
+only camera-side reductions still cross rows, and those ride the one-hot
+matmul. The cost is padding waste (mean track length / V), which for typical
+scenes is far cheaper than scatter.
+
+Sharding: the P axis shards cleanly over a mesh — per-point math is local,
+and GSPMD turns the camera-side one-hot matmuls into local matmuls + psum.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from sfm_tpu.config import BAConfig
+from sfm_tpu.ba.residuals import residuals_and_jacobians, huber_weights, huber_cost
+from sfm_tpu.ba.lm import _intr_reg
+
+_EPS = 1e-10
+
+
+class BlockedBAProblem(NamedTuple):
+    """BA problem with (P, V)-blocked observations."""
+
+    rvec: jnp.ndarray        # (C, 3)
+    tvec: jnp.ndarray        # (C, 3)
+    cam_valid: jnp.ndarray   # (C,) bool
+    cam_fixed: jnp.ndarray   # (C,) bool
+    intr: jnp.ndarray        # (4,)
+    points: jnp.ndarray      # (P, 3)
+    point_valid: jnp.ndarray # (P,) bool
+    obs_cam: jnp.ndarray     # (P, V) int32 (clipped into range)
+    obs_xy: jnp.ndarray      # (P, V, 2)
+    obs_valid: jnp.ndarray   # (P, V) bool
+
+    @property
+    def num_cameras(self) -> int:
+        return self.rvec.shape[0]
+
+    @property
+    def num_points(self) -> int:
+        return self.points.shape[0]
+
+
+def build_blocked_problem(
+    rvec, tvec, cam_valid, intr, points, point_valid,
+    obs_cam, obs_xy, obs_valid, cam_fixed=None,
+) -> BlockedBAProblem:
+    rvec = np.asarray(rvec, np.float32)
+    if cam_fixed is None:
+        cam_fixed = np.zeros(rvec.shape[0], bool)
+        cv = np.asarray(cam_valid, bool)
+        if cv.any():
+            cam_fixed[np.argmax(cv)] = True
+    C = rvec.shape[0]
+    return BlockedBAProblem(
+        rvec=jnp.asarray(rvec),
+        tvec=jnp.asarray(np.asarray(tvec, np.float32)),
+        cam_valid=jnp.asarray(np.asarray(cam_valid, bool)),
+        cam_fixed=jnp.asarray(np.asarray(cam_fixed, bool)),
+        intr=jnp.asarray(np.asarray(intr, np.float32)),
+        points=jnp.asarray(np.asarray(points, np.float32)),
+        point_valid=jnp.asarray(np.asarray(point_valid, bool)),
+        obs_cam=jnp.asarray(np.clip(np.asarray(obs_cam, np.int32), 0, C - 1)),
+        obs_xy=jnp.asarray(np.asarray(obs_xy, np.float32)),
+        obs_valid=jnp.asarray(np.asarray(obs_valid, bool)),
+    )
+
+
+@partial(jax.jit, static_argnames=("config", "optimize_intrinsics"))
+def run_ba_blocked(
+    problem: BlockedBAProblem,
+    config: BAConfig = BAConfig(),
+    intr_ref: jnp.ndarray = None,
+    optimize_intrinsics: bool = True,
+) -> Tuple[BlockedBAProblem, dict]:
+    """LM bundle adjustment on the blocked layout (same schedule as run_ba)."""
+    if intr_ref is None:
+        intr_ref = problem.intr
+    C = problem.num_cameras
+    P, V = problem.obs_cam.shape
+    reg_w = jnp.float32(config.intrinsics_reg_weight)
+
+    cam_free = (problem.cam_valid & ~problem.cam_fixed).astype(jnp.float32)
+    obs_ok = (
+        problem.obs_valid
+        & problem.point_valid[:, None]
+        & problem.cam_valid[problem.obs_cam]
+    ).astype(jnp.float32)                                   # (P, V)
+
+    flat_cam = problem.obs_cam.reshape(-1)
+    flat_point = jnp.repeat(jnp.arange(P, dtype=jnp.int32), V)
+    flat_xy = problem.obs_xy.reshape(-1, 2)
+    onehot_cam = jax.nn.one_hot(flat_cam, C, dtype=jnp.float32)  # (P*V, C)
+
+    def cam_reduce(values_pv):
+        """(P, V, k) -> (C, k) via MXU matmul."""
+        k = values_pv.shape[-1]
+        return jnp.einsum(
+            "oc,ok->ck", onehot_cam, values_pv.reshape(-1, k),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    def linearize(rvec, tvec, intr, points):
+        r, J_c, J_k, J_p = residuals_and_jacobians(
+            (rvec, tvec, intr, points, flat_cam, flat_point, flat_xy)
+        )
+        shape = (P, V)
+        return (
+            r.reshape(shape + (2,)),
+            J_c.reshape(shape + (2, 6)),
+            J_k.reshape(shape + (2, 4)),
+            J_p.reshape(shape + (2, 3)),
+        )
+
+    def total_cost(rvec, tvec, intr, points):
+        r, *_ = linearize(rvec, tvec, intr, points)
+        c = huber_cost(r.reshape(-1, 2), obs_ok.reshape(-1) > 0, config.huber_delta)
+        if optimize_intrinsics:
+            r_reg, _, _ = _intr_reg(intr, intr_ref, reg_w)
+            c = c + 0.5 * jnp.sum(r_reg**2)
+        return c
+
+    def lm_step(rvec, tvec, intr, points, lam):
+        r, Jc, Jk, Jp = linearize(rvec, tvec, intr, points)
+        w = huber_weights(r, config.huber_delta)            # (P, V)
+        if optimize_intrinsics:
+            _, Hreg, greg = _intr_reg(intr, intr_ref, reg_w)
+        else:
+            Jk = Jk * 0.0
+            Hreg = jnp.eye(4, dtype=jnp.float32)
+            greg = jnp.zeros(4, jnp.float32)
+
+        sw = jnp.sqrt(w * obs_ok)[..., None, None]          # (P, V, 1, 1)
+        free_o = cam_free[problem.obs_cam][..., None, None]
+        Jc = Jc * sw * free_o
+        Jk = Jk * sw
+        Jp = Jp * sw
+        rw = r * jnp.sqrt(w * obs_ok)[..., None]
+
+        # Point blocks: DENSE axis-1 reductions (no scatter anywhere).
+        Vb = jnp.einsum("pvci,pvcj->pij", Jp, Jp)           # (P, 3, 3)
+        diagV = jnp.diagonal(Vb, axis1=-2, axis2=-1)
+        Vd = Vb + (lam * diagV + _EPS)[..., None] * jnp.eye(3)
+        Vinv = jnp.linalg.inv(Vd)
+        Vinv = jnp.where(problem.point_valid[:, None, None], Vinv, 0.0)
+
+        U = cam_reduce(
+            jnp.einsum("pvci,pvcj->pvij", Jc, Jc).reshape(P, V, 36)
+        ).reshape(C, 6, 6)
+        diagU = jnp.diagonal(U, axis1=-2, axis2=-1)
+        lam_diag_c = lam * diagU
+        unit_c = (jnp.sum(diagU, axis=-1) <= _EPS).astype(jnp.float32)
+        Uk = jnp.einsum("pvci,pvcj->ij", Jk, Jk) + Hreg
+        lam_diag_k = lam * jnp.diagonal(Uk) + _EPS
+
+        Ud = U + lam_diag_c[..., None] * jnp.eye(6) + unit_c[:, None, None] * jnp.eye(6)
+        Mc = jnp.linalg.inv(Ud + _EPS * jnp.eye(6))
+        Mk = jnp.linalg.inv(Uk + jnp.diag(lam_diag_k) + _EPS * jnp.eye(4))
+
+        g_c = cam_reduce(jnp.einsum("pvci,pvc->pvi", Jc, rw))
+        g_k = jnp.einsum("pvci,pvc->i", Jk, rw)
+        g_p = jnp.einsum("pvci,pvc->pi", Jp, rw)            # dense
+
+        h_p = jnp.einsum("pij,pj->pi", Vinv, g_p)
+        y = jnp.einsum("pvci,pi->pvc", Jp, h_p)
+        rhs_c = -g_c + cam_reduce(jnp.einsum("pvci,pvc->pvi", Jc, y))
+        rhs_k = -g_k + jnp.einsum("pvci,pvc->i", Jk, y) - greg
+
+        def matvec(xc, xk):
+            a = jnp.einsum("pvci,pvi->pvc", Jc, xc[problem.obs_cam]) + jnp.einsum(
+                "pvci,i->pvc", Jk, xk
+            )
+            u_p = jnp.einsum("pvci,pvc->pi", Jp, a)         # dense
+            v_p = jnp.einsum("pij,pj->pi", Vinv, u_p)
+            z = jnp.einsum("pvci,pi->pvc", Jp, v_p)
+            d = a - z
+            Sx_c = cam_reduce(jnp.einsum("pvci,pvc->pvi", Jc, d))
+            Sx_k = jnp.einsum("pvci,pvc->i", Jk, d)
+            Sx_c = Sx_c + lam_diag_c * xc + unit_c[:, None] * xc
+            Sx_k = Sx_k + lam_diag_k * xk + Hreg @ xk
+            return Sx_c, Sx_k
+
+        def precond(rc, rk):
+            return jnp.einsum("cij,cj->ci", Mc, rc), Mk @ rk
+
+        def dot(ac, ak, bc, bk):
+            return jnp.sum(ac * bc) + jnp.sum(ak * bk)
+
+        # PCG (early-exit while_loop).
+        xc = jnp.zeros_like(rhs_c)
+        xk = jnp.zeros_like(rhs_k)
+        rc, rk = rhs_c, rhs_k
+        zc, zk = precond(rc, rk)
+        pc, pk = zc, zk
+        rz = dot(rc, rk, zc, zk)
+        rhs_norm = jnp.sqrt(dot(rhs_c, rhs_k, rhs_c, rhs_k))
+
+        def cg_cond(st):
+            i, rc, rk = st[0], st[3], st[4]
+            return (i < config.cg_iters) & (
+                jnp.sqrt(dot(rc, rk, rc, rk)) > config.cg_tol * rhs_norm
+            )
+
+        def cg_body(st):
+            i, xc, xk, rc, rk, pc, pk, rz = st
+            Apc, Apk = matvec(pc, pk)
+            pAp = dot(pc, pk, Apc, Apk)
+            alpha = jnp.where(pAp > _EPS, rz / pAp, 0.0)
+            xc = xc + alpha * pc
+            xk = xk + alpha * pk
+            rc = rc - alpha * Apc
+            rk = rk - alpha * Apk
+            zc, zk = precond(rc, rk)
+            rz_new = dot(rc, rk, zc, zk)
+            beta = jnp.where(rz > _EPS, rz_new / rz, 0.0)
+            return i + 1, xc, xk, rc, rk, zc + beta * pc, zk + beta * pk, rz_new
+
+        st = (jnp.int32(0), xc, xk, rc, rk, pc, pk, rz)
+        _, xc, xk, *_ = jax.lax.while_loop(cg_cond, cg_body, st)
+
+        # Back-substitute the point step.
+        a = jnp.einsum("pvci,pvi->pvc", Jc, xc[problem.obs_cam]) + jnp.einsum(
+            "pvci,i->pvc", Jk, xk
+        )
+        u_p = jnp.einsum("pvci,pvc->pi", Jp, a)
+        dp = jnp.einsum("pij,pj->pi", Vinv, -g_p - u_p)
+        return xc, xk, dp
+
+    init_cost = total_cost(problem.rvec, problem.tvec, problem.intr, problem.points)
+
+    def cond(state):
+        it, done, *_ = state
+        return (it < config.max_iterations) & ~done
+
+    def body(state):
+        it, done, rvec, tvec, intr, points, lam, cost, n_acc = state
+        xc, xk, dp = lm_step(rvec, tvec, intr, points, lam)
+        rvec_n = rvec + xc[:, :3]
+        tvec_n = tvec + xc[:, 3:]
+        intr_n = intr + xk
+        points_n = points + dp
+        new_cost = total_cost(rvec_n, tvec_n, intr_n, points_n)
+        accept = new_cost < cost
+        rel = (cost - new_cost) / jnp.maximum(cost, 1e-12)
+        done_n = accept & (rel < config.ftol)
+        lam_n = jnp.where(
+            accept,
+            jnp.maximum(lam / config.lambda_down, config.min_lambda),
+            jnp.minimum(lam * config.lambda_up, config.max_lambda),
+        )
+        pick = lambda a, b: jnp.where(accept, a, b)
+        return (
+            it + 1, done_n,
+            pick(rvec_n, rvec), pick(tvec_n, tvec),
+            pick(intr_n, intr), pick(points_n, points),
+            lam_n, pick(new_cost, cost), n_acc + accept.astype(jnp.int32),
+        )
+
+    state = (
+        jnp.int32(0), jnp.array(False),
+        problem.rvec, problem.tvec, problem.intr, problem.points,
+        jnp.float32(config.init_lambda), init_cost, jnp.int32(0),
+    )
+    it, _, rvec, tvec, intr, points, lam, cost, n_acc = jax.lax.while_loop(
+        cond, body, state
+    )
+    out = problem._replace(rvec=rvec, tvec=tvec, intr=intr, points=points)
+    num_obs = jnp.sum(obs_ok)
+    stats = {
+        "initial_cost": init_cost,
+        "final_cost": cost,
+        "iterations": it,
+        "accepted_steps": n_acc,
+        "final_lambda": lam,
+        "rms_px": jnp.sqrt(2.0 * cost / jnp.maximum(num_obs, 1.0)),
+    }
+    return out, stats

@@ -172,3 +172,65 @@ class TestBA:
             np.asarray(o1.points), np.asarray(o2.points)[:60], atol=1e-3
         )
         assert abs(mean_reproj_error(o1) - mean_reproj_error(o2)) < 1e-3
+
+
+class TestBlockedBA:
+    """Blocked (P, V) layout must agree with the flat-table LM."""
+
+    def _to_blocked(self, s, rvec=None, V=8):
+        from sfm_tpu.ba.blocked import build_blocked_problem
+
+        n_c = s["rvec"].shape[0]
+        n_p = s["points"].shape[0]
+        obs_cam = np.zeros((n_p, V), np.int32)
+        obs_xy = np.zeros((n_p, V, 2), np.float32)
+        obs_valid = np.zeros((n_p, V), bool)
+        fill = np.zeros(n_p, np.int32)
+        for c, p, xy in zip(s["obs_cam"], s["obs_point"], s["obs_xy"]):
+            k = fill[p]
+            if k >= V:
+                continue
+            obs_cam[p, k] = c
+            obs_xy[p, k] = xy
+            obs_valid[p, k] = True
+            fill[p] += 1
+        return build_blocked_problem(
+            rvec=s["rvec"] if rvec is None else rvec,
+            tvec=s["tvec"], cam_valid=np.ones(n_c, bool), intr=s["intr"],
+            points=s["points"], point_valid=np.ones(n_p, bool),
+            obs_cam=obs_cam, obs_xy=obs_xy, obs_valid=obs_valid,
+        )
+
+    def test_matches_flat(self, rng):
+        from sfm_tpu.ba.blocked import run_ba_blocked
+
+        s = make_scene(rng, n_cams=5, n_pts=80)
+        rvec = s["rvec"] + rng.normal(scale=0.008, size=s["rvec"].shape).astype(np.float32)
+        rvec[0] = s["rvec"][0]
+
+        flat = problem_from_scene(s, rvec=rvec)
+        out_f, _ = run_ba(flat, CFG, optimize_intrinsics=False)
+
+        blocked = self._to_blocked(s, rvec=rvec)
+        out_b, stats_b = run_ba_blocked(blocked, CFG, optimize_intrinsics=False)
+
+        e_f = mean_reproj_error(out_f)
+        # Blocked result error via the flat evaluator on the same obs.
+        flat_b = problem_from_scene(
+            s, rvec=np.array(out_b.rvec), tvec=np.array(out_b.tvec),
+            points=np.array(out_b.points),
+        )
+        e_b = mean_reproj_error(flat_b)
+        assert e_f < 0.05 and e_b < 0.05
+
+    def test_blocked_padding_ignored(self, rng):
+        from sfm_tpu.ba.blocked import run_ba_blocked
+
+        s = make_scene(rng, n_cams=4, n_pts=60)
+        b1 = self._to_blocked(s, V=8)
+        b2 = self._to_blocked(s, V=16)  # more padding, same data
+        o1, _ = run_ba_blocked(b1, CFG, optimize_intrinsics=False)
+        o2, _ = run_ba_blocked(b2, CFG, optimize_intrinsics=False)
+        np.testing.assert_allclose(
+            np.asarray(o1.points), np.asarray(o2.points), atol=1e-3
+        )
