@@ -9,9 +9,22 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
-    """1-D device mesh over the first ``n_devices`` local devices."""
+    """1-D device mesh over the first ``n_devices`` local devices.
+
+    Raises if fewer than ``n_devices`` are available — silently truncating
+    would let an "8-device" dry run execute on a 1-device mesh and report
+    success (round-1 failure mode).
+    """
     devs = jax.devices()
     if n_devices is not None:
+        if len(devs) < n_devices:
+            raise RuntimeError(
+                f"requested a {n_devices}-device mesh but only {len(devs)} "
+                f"device(s) are available ({[d.platform for d in devs]}); "
+                "force virtual CPU devices via "
+                "XLA_FLAGS=--xla_force_host_platform_device_count and "
+                'jax.config.update("jax_platforms", "cpu") first'
+            )
         devs = devs[:n_devices]
     return Mesh(np.array(devs), (axis,))
 

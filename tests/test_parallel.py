@@ -21,6 +21,16 @@ def mesh():
     return make_mesh(8)
 
 
+class TestMakeMesh:
+    def test_raises_instead_of_truncating(self):
+        # Round-1 regression: make_mesh(n) silently ran on fewer devices.
+        with pytest.raises(RuntimeError, match="device mesh"):
+            make_mesh(len(jax.devices()) + 1)
+
+    def test_exact_size(self):
+        assert make_mesh(8).devices.size == 8
+
+
 class TestShardedSweep:
     def test_matches_single_device(self, rng, mesh):
         from tests.test_reconstruction import make_multiview
