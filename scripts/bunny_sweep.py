@@ -41,10 +41,11 @@ def main(data_dir="/root/reference/bunny_data", chunk_size=32):
     # Stack on device, transfer once: per-array device->host round-trips over
     # the TPU tunnel are latency-bound.
     import jax.numpy as jnp
+    from sfm_tpu.utils.transfer import device_get_chunked
     xy_d = jnp.stack([f.xy for f in feats])
     desc_d = jnp.stack([f.desc for f in feats])
     valid_d = jnp.stack([f.valid for f in feats])
-    xy, desc, valid = jax.device_get((xy_d, desc_d, valid_d))
+    xy, desc, valid = device_get_chunked((xy_d, desc_d, valid_d))
     log("transferred")
     log(
         "kps per image: min %d mean %.0f max %d"

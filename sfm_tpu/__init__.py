@@ -25,7 +25,32 @@ Array conventions used throughout:
 
 __version__ = "0.1.0"
 
+import os as _os
+
 from sfm_tpu.config import SfMConfig  # noqa: F401
+
+
+def _enable_compilation_cache():
+    """Point JAX at a persistent on-disk compilation cache.
+
+    Big programs compile remotely in 20-40 s on the tunneled TPU; the cache
+    turns every repeat-process run (CLI invocations, benchmarks, the driver's
+    checks) into a ~ms cache hit. Respects an explicit user setting.
+    """
+    if "JAX_COMPILATION_CACHE_DIR" in _os.environ:
+        return
+    try:
+        import jax
+
+        if jax.config.jax_compilation_cache_dir is None:
+            cache = _os.path.join(_os.path.dirname(__file__), "..", ".jax_cache")
+            jax.config.update("jax_compilation_cache_dir", _os.path.abspath(cache))
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover — never block import on cache setup
+        pass
+
+
+_enable_compilation_cache()
 
 
 def __getattr__(name):

@@ -75,7 +75,12 @@ class PnPConfig:
                                        # adaptive termination headroom
     reproj_threshold: float = 8.0      # ref PNP_REPROJECTION_ERROR
     min_inliers: int = 15              # ref PNP_MIN_INLIERS
-    min_matches: int = 20              # ref MIN_MATCHES
+    min_matches: int = 20              # ref MIN_MATCHES: minimum 2D-3D pool
+                                       # size before attempting PnP at all
+                                       # (sfm_reconstruction.py:15, :324)
+    candidate_batch: int = 8           # candidates PnP'd per device dispatch
+                                       # (the loop is tunnel-latency-bound;
+                                       # all passers register in score order)
     refine_iters: int = 10             # Gauss-Newton polish on inliers
     sample_size: int = 6               # minimal DLT sample; 6 keeps the
                                        # all-inlier probability usable at the

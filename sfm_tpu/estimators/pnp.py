@@ -121,6 +121,36 @@ def _gn_sample_step(rvec, t, s3, s2, K):
 
 
 @partial(jax.jit, static_argnames=("iters", "refine_iters", "sample_size"))
+def pnp_ransac_batch(
+    keys,
+    pts3d,
+    pts2d,
+    valid,
+    K,
+    min_inliers,
+    iters: int = 1024,
+    threshold: float = 8.0,
+    refine_iters: int = 10,
+    sample_size: int = 8,
+):
+    """`pnp_ransac` vmapped over a leading candidate axis — ONE dispatch.
+
+    keys: (B,) PRNG keys; pts3d: (B, N, 3); pts2d: (B, N, 2); valid: (B, N);
+    K: (3, 3) shared; min_inliers: (B,) per-candidate consensus gates.
+    The incremental loop is tunnel-latency-bound (~90 ms per device round
+    trip); registering the whole candidate slate per dispatch removes the
+    per-candidate trips that dominated the round-1 reconstruction wall-clock.
+    """
+    return jax.vmap(
+        lambda k_, p3, p2, v, mi: pnp_ransac(
+            k_, p3, p2, v, K,
+            iters=iters, threshold=threshold, min_inliers=mi,
+            refine_iters=refine_iters, sample_size=sample_size,
+        )
+    )(keys, pts3d, pts2d, valid, min_inliers)
+
+
+@partial(jax.jit, static_argnames=("iters", "refine_iters", "sample_size"))
 def pnp_ransac(
     key,
     pts3d,

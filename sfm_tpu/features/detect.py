@@ -120,16 +120,33 @@ def select_octave_candidates(fields, budget: int):
     """
     score = fields["score"]
     S, h, w = score.shape
-    flat = score.reshape(-1)
     # Exact top_k: approx_max_k loses ~30% of keypoints here because the
     # score grid is sparse (mostly zeros) and k is comparable to the number
     # of nonzero entries — the approximation's recall target assumes dense
-    # scores. The full sort costs ~ms and detection is not the bottleneck.
-    top, idx = jax.lax.top_k(flat, budget)
-    layer = idx // (h * w)
-    rem = idx % (h * w)
-    y = rem // w
-    x = rem % w
+    # scores. But sorting the full grid is the single biggest detection op
+    # (9.4M elements at the upsampled octave), so first max-pool 2x2: the
+    # 26-neighbor extremum test forbids two same-sign extrema in adjacent
+    # pixels, so a block holds >1 candidate only for a rare max/min diagonal
+    # pair, where we keep the stronger — then sort the 4x-smaller grid.
+    hp, wp = h + (h % 2), w + (w % 2)
+    sp = jnp.pad(score, ((0, 0), (0, hp - h), (0, wp - w)))
+    blocks = sp.reshape(S, hp // 2, 2, wp // 2, 2)
+    pooled = blocks.max(axis=(2, 4))
+    k = min(budget, pooled.size)  # tiny octaves can hold < budget cells
+    top, pidx = jax.lax.top_k(pooled.reshape(-1), k)
+    if k < budget:
+        top = jnp.pad(top, (0, budget - k))        # score 0 == padding
+        pidx = jnp.pad(pidx, (0, budget - k))
+    layer = pidx // ((hp // 2) * (wp // 2))
+    prem = pidx % ((hp // 2) * (wp // 2))
+    by = prem // (wp // 2)
+    bx = prem % (wp // 2)
+    # Which of the 4 block members won: compare against the pooled value.
+    sub = blocks[layer, by, :, bx, :].reshape(-1, 4)        # (budget, 4)
+    sub_arg = jnp.argmax(sub == top[:, None], axis=1)
+    y = by * 2 + sub_arg // 2
+    x = bx * 2 + sub_arg % 2
+    idx = layer * (h * w) + jnp.minimum(y, h - 1) * w + jnp.minimum(x, w - 1)
     take = lambda f: f.reshape(-1)[idx]
     return {
         "layer": (layer + 1).astype(jnp.int32),  # DoG interior layer index

@@ -19,11 +19,7 @@ import jax.numpy as jnp
 from sfm_tpu.config import FeatureConfig
 from sfm_tpu.features.pyramid import build_pyramid
 from sfm_tpu.features.detect import dog_extrema_scores, select_octave_candidates
-from sfm_tpu.features.descriptor import (
-    octave_gradients,
-    keypoint_orientation,
-    keypoint_descriptor,
-)
+from sfm_tpu.features.descriptor import orientation_and_descriptor_batch
 
 
 class Features(NamedTuple):
@@ -61,7 +57,6 @@ def _detect_impl(image, mask, config: FeatureConfig, has_mask: bool) -> Features
             dogs[o], config.contrast_threshold, config.edge_threshold
         )
         cands = select_octave_candidates(fields, _octave_budget(config.max_keypoints, o))
-        gx, gy = octave_gradients(gaussians[o])
 
         layer = cands["layer"]                        # 1..S (DoG interior)
         grad_idx = layer - 1
@@ -71,16 +66,12 @@ def _detect_impl(image, mask, config: FeatureConfig, has_mask: bool) -> Features
             2.0, (layer.astype(jnp.float32) + cands["off_s"]) / S
         )
 
-        angle = jax.vmap(
-            lambda xx, yy, ll, ss: keypoint_orientation(gx, gy, xx, yy, ll, ss)
-        )(x_o, y_o, grad_idx, sigma_rel)
-        desc = jax.vmap(
-            lambda xx, yy, ll, ss, aa: keypoint_descriptor(
-                gx, gy, xx, yy, ll, ss, aa,
-                descriptor_scale=config.descriptor_scale,
-                clip=config.descriptor_clip,
-            )
-        )(x_o, y_o, grad_idx, sigma_rel, angle)
+        h_o, w_o = gaussians[o].shape[-2:]
+        angle, desc = orientation_and_descriptor_batch(
+            gaussians[o], grad_idx, x_o, y_o, sigma_rel, w_o, h_o,
+            descriptor_scale=config.descriptor_scale,
+            clip=config.descriptor_clip,
+        )
 
         scale = float(1 << o) * oct_base
         per_octave.append(

@@ -15,37 +15,44 @@ import jax
 import jax.numpy as jnp
 
 
-def _gaussian_kernel1d(sigma: float, radius: int) -> jnp.ndarray:
-    x = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
-    k = jnp.exp(-0.5 * (x / sigma) ** 2)
-    return k / jnp.sum(k)
+import numpy as np
+
+
+def _gaussian_taps(sigma: float, radius: int) -> np.ndarray:
+    x = np.arange(-radius, radius + 1, dtype=np.float64)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    return (k / k.sum()).astype(np.float32)
 
 
 def gaussian_blur(img: jnp.ndarray, sigma: float) -> jnp.ndarray:
-    """Separable Gaussian blur of a (H, W) float32 image, SAME padding.
+    """Separable Gaussian blur of a (..., H, W) float32 image, SAME-zero pad.
 
-    ``sigma`` is a Python float (static): the kernel is baked at trace time.
+    ``sigma`` is a Python float (static): the taps are baked at trace time.
+    Implemented as shift-and-add (each tap is a static slice of the padded
+    image) instead of conv_general_dilated: 1-channel convs cannot use the
+    MXU, and the f32 precision they need (bf16 quantization creates ~40%
+    spurious DoG extrema at contrast 0.006) makes them 18x slower than this
+    fused VPU elementwise chain (measured 658 -> 37 ms for the octave-0 blur
+    stack at 1536x2048). Elementwise FMA is exact f32, so no precision flag
+    is needed; output matches the HIGHEST-precision conv to ~5e-7.
     """
     if sigma <= 0:
         return img
     radius = max(1, int(math.ceil(3.0 * sigma)))
-    k = _gaussian_kernel1d(sigma, radius)
-    # Rows then columns, via conv_general_dilated on NCHW with 1 channel.
-    # HIGHEST precision: the TPU default multiplies in bf16, whose
-    # quantization noise creates spurious DoG extrema (measured ~40% fake
-    # keypoints on bunny at contrast 0.006).
-    x = img[None, None, :, :]
-    kh = k[None, None, None, :]
-    x = jax.lax.conv_general_dilated(
-        x, kh, (1, 1), [(0, 0), (radius, radius)],
-        precision=jax.lax.Precision.HIGHEST,
+    k = _gaussian_taps(sigma, radius)
+    h, w = img.shape[-2], img.shape[-1]
+    pad = [(0, 0)] * (img.ndim - 2)
+    x = jnp.pad(img, pad + [(0, 0), (radius, radius)])
+    out = sum(
+        float(k[i]) * jax.lax.dynamic_slice_in_dim(x, i, w, axis=-1)
+        for i in range(2 * radius + 1)
     )
-    kv = k[None, None, :, None]
-    x = jax.lax.conv_general_dilated(
-        x, kv, (1, 1), [(radius, radius), (0, 0)],
-        precision=jax.lax.Precision.HIGHEST,
+    x = jnp.pad(out, pad + [(radius, radius), (0, 0)])
+    out = sum(
+        float(k[i]) * jax.lax.dynamic_slice_in_dim(x, i, h, axis=-2)
+        for i in range(2 * radius + 1)
     )
-    return x[0, 0]
+    return out
 
 
 def layer_sigmas(num_layers: int, sigma0: float, scales_per_octave: int):

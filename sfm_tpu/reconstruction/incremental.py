@@ -28,7 +28,7 @@ from sfm_tpu.config import SfMConfig
 from sfm_tpu.geometry.projection import project
 from sfm_tpu.geometry.rotations import rodrigues, rotation_to_rvec
 from sfm_tpu.geometry.triangulation import triangulate_multiview
-from sfm_tpu.estimators.pnp import pnp_ransac
+from sfm_tpu.estimators.pnp import pnp_ransac, pnp_ransac_batch
 from sfm_tpu.graph.view_selection import SfMGraphSelector
 from sfm_tpu.ba import run_ba
 from sfm_tpu.ba.problem import build_problem
@@ -238,9 +238,11 @@ class StructureFromMotion:
         t_ids, pts3d, xy = self._pnp_correspondences(img)
         n = len(t_ids)
         gate = self.config.pnp.min_inliers
-        if weak and n < gate:
+        pool_floor = max(gate, self.config.pnp.min_matches)
+        if weak and n < pool_floor:
             gate = max(self.config.pnp.min_inliers_floor, int(0.8 * n))
-        if n < gate:
+            pool_floor = gate
+        if n < pool_floor:
             self.stage_s["pnp"] += time.time() - _t0
             return False
         budget = self.config.pnp.budget
@@ -271,6 +273,68 @@ class StructureFromMotion:
             "registered image %d (%d/%d PnP inliers)", img, n_inl, n,
         )
         return True
+
+    def register_candidates(self, candidates, max_accept: int) -> int:
+        """PnP the whole candidate slate in ONE device dispatch; register all
+        passers in candidate-score order (up to ``max_accept``, so the BA
+        cadence of the reference is preserved).
+
+        Candidates PnP against the pre-round point set: a candidate that
+        would only pass after a round-mate's triangulation simply registers
+        next round. This trades nothing but freshness for a ~candidate_batch
+        reduction in device round trips, which dominate the loop on a
+        remote-tunneled TPU (~90 ms each).
+        """
+        _t0 = time.time()
+        B = self.config.pnp.candidate_batch
+        pool_floor = max(self.config.pnp.min_inliers, self.config.pnp.min_matches)
+        slate = []  # (img, n, pts3d, xy)
+        for img, _score in candidates:
+            if len(slate) >= B:
+                break
+            t_ids, pts3d, xy = self._pnp_correspondences(int(img))
+            if len(t_ids) >= pool_floor:
+                slate.append((int(img), len(t_ids), pts3d, xy))
+        if not slate:
+            self.stage_s["pnp"] += time.time() - _t0
+            return 0
+        budget = self.config.pnp.budget
+        # Fixed batch B (pad with invalid lanes): one compiled program.
+        p3 = np.zeros((B, budget, 3), np.float32)
+        p2 = np.zeros((B, budget, 2), np.float32)
+        valid = np.zeros((B, budget), bool)
+        gates = np.full(B, self.config.pnp.min_inliers, np.int32)
+        for a, (_img, n, pts3d, xy) in enumerate(slate):
+            m = min(n, budget)
+            p3[a, :m], p2[a, :m], valid[a, :m] = pts3d[:m], xy[:m], True
+        keys = jax.random.split(self._next_key(), B)
+        out = pnp_ransac_batch(
+            keys, p3, p2, valid, self._camera_matrix(), gates,
+            iters=self.config.pnp.ransac_iters,
+            threshold=self.config.pnp.reproj_threshold,
+            refine_iters=self.config.pnp.refine_iters,
+            sample_size=self.config.pnp.sample_size,
+        )
+        rvecs, ts, nums, oks = map(np.asarray, (
+            out["rvec"], out["t"], out["num_inliers"], out["ok"]
+        ))
+        self.stage_s["pnp"] += time.time() - _t0
+        n_registered = 0
+        for a, (img, n, _p3, _xy) in enumerate(slate):
+            if n_registered >= max_accept:
+                break
+            n_inl = int(nums[a])
+            if not bool(oks[a]):
+                continue
+            if n_inl < self.config.pnp.min_inlier_ratio * min(n, budget):
+                continue
+            self.rvec[img] = rvecs[a]
+            self.tvec[img] = ts[a]
+            self.registered[img] = True
+            self.reg_order.append(img)
+            n_registered += 1
+            logger.info("registered image %d (%d/%d PnP inliers)", img, n_inl, n)
+        return n_registered
 
     # -------------------------------------------------------------------- BA
 
@@ -415,6 +479,8 @@ class StructureFromMotion:
         # candidate list before giving up. The reference simply stops
         # (sfm_reconstruction.py:696-698).
         retried_after_ba = False
+        last_ckpt = len(self.reg_order)
+        freq = max(1, self.config.ba.frequency)
         while len(self.reg_order) < limit:
             _t0 = time.time()
             candidates = self.selector.find_next_best_images(
@@ -424,13 +490,24 @@ class StructureFromMotion:
             if not candidates:
                 logger.info("no more connected candidates")
                 break
-            progressed = False
-            for img, _score in candidates:
-                if self.register_image(int(img)):
-                    if len(self.reg_order) % self.config.triangulation.cadence == 0:
-                        self._triangulate()
-                    progressed = True
-                    break
+            # Accept at most up-to-the-next-BA-boundary registrations this
+            # round so the reference's every-k-registrations BA cadence
+            # (sfm_reconstruction.py:689) is preserved exactly.
+            to_boundary = freq - (len(self.reg_order) % freq)
+            max_accept = min(limit - len(self.reg_order), to_boundary)
+            if checkpoint_dir and checkpoint_every:
+                # keep the every-k-registrations checkpoint contract exact
+                max_accept = min(
+                    max_accept,
+                    checkpoint_every - (len(self.reg_order) - last_ckpt),
+                )
+            n_new = self.register_candidates(candidates, max_accept)
+            progressed = n_new > 0
+            if progressed and (
+                self.config.triangulation.cadence == 1
+                or len(self.reg_order) % self.config.triangulation.cadence == 0
+            ):
+                self._triangulate()
             if not progressed:
                 if retried_after_ba:
                     # Last resort: weak-gate registration for images whose
@@ -455,7 +532,7 @@ class StructureFromMotion:
                 self.bundle_adjust()
                 self._triangulate()
             if checkpoint_dir and checkpoint_every and (
-                len(self.reg_order) % checkpoint_every == 0
+                len(self.reg_order) - last_ckpt >= checkpoint_every
             ):
                 from pathlib import Path
 
@@ -463,6 +540,7 @@ class StructureFromMotion:
                 self.save_checkpoint(
                     Path(checkpoint_dir) / f"ckpt_{len(self.reg_order):04d}.npz"
                 )
+                last_ckpt = len(self.reg_order)
 
         if len(self.reg_order) >= 2:
             self.bundle_adjust(final=True)
