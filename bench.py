@@ -130,17 +130,24 @@ def main():
 
     # Timed sweep over all pairs; outputs stay on device, synced by reducing
     # every chunk to one scalar transferred inside the timed region.
-    t0 = time.time()
-    outs = []
-    for c0 in range(0, P + pad, chunk):
-        outs.append(
-            fn(keys[c0:c0 + chunk], jnp.asarray(pairs_p[c0:c0 + chunk]),
-               xy_d, desc_d, valid_d)
-        )
-    total_inliers = float(sum(jnp.sum(o["num_inliers"]) for o in outs))
-    dt = time.time() - t0
+    # Median of 3 passes: a single ~1 s pass over the tunnel is too noisy for
+    # the headline metric (round-1 captured 612 vs 718 pairs/s on one-shot
+    # timing); the spread is reported so variance is visible in the record.
+    times = []
+    for _rep in range(3):
+        t0 = time.time()
+        outs = []
+        for c0 in range(0, P + pad, chunk):
+            outs.append(
+                fn(keys[c0:c0 + chunk], jnp.asarray(pairs_p[c0:c0 + chunk]),
+                   xy_d, desc_d, valid_d)
+            )
+        total_inliers = float(sum(jnp.sum(o["num_inliers"]) for o in outs))
+        times.append(time.time() - t0)
+        assert total_inliers > 0
+    dt = float(np.median(times))
     pairs_per_sec = P / dt
-    assert total_inliers > 0
+    spread_pct = 100.0 * (max(times) - min(times)) / dt
 
     accepted = int(np.sum(np.concatenate([np.asarray(o["accept"]) for o in outs])[:P]))
 
@@ -161,6 +168,8 @@ def main():
                 "detail": {
                     "pairs": int(P),
                     "sweep_s": round(dt, 3),
+                    "sweep_s_all": [round(t, 3) for t in times],
+                    "sweep_spread_pct": round(spread_pct, 1),
                     "accepted_pairs": accepted,
                     "baseline_pairs_per_sec": base if base == base else None,
                     "ba_lm_iters_per_sec": round(ba_ips, 2),
