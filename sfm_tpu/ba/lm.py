@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from sfm_tpu.config import BAConfig
 from sfm_tpu.ba.problem import BAProblem
 from sfm_tpu.ba.residuals import residuals_and_jacobians, huber_weights, huber_cost
-from sfm_tpu.ba.schur import build_operator, pcg_solve, back_substitute
+from sfm_tpu.ba.schur import build_operator, pcg_solve, back_substitute, dense_schur_solve
 
 _REG_A = jnp.array(
     [
@@ -100,7 +100,12 @@ def run_ba(
             cam_free, point_valid, lam, Hreg, C, P,
         )
         rhs_k = rhs_k - greg
-        xc, xk = pcg_solve(op, rhs_c, rhs_k, config.cg_iters, config.cg_tol)
+        if C <= config.use_dense_schur_below:
+            # Small scene: exact dense Cholesky on the reduced system — one
+            # fused program instead of cg_iters sequential matvecs.
+            xc, xk = dense_schur_solve(op, rhs_c, rhs_k)
+        else:
+            xc, xk = pcg_solve(op, rhs_c, rhs_k, config.cg_iters, config.cg_tol)
         dp = back_substitute(op, g_p, xc, xk)
         return xc, xk, dp
 

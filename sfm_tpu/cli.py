@@ -43,6 +43,8 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--data_dir", required=True, help="dataset root (images/, silhouettes/)")
     p.add_argument("--output_dir", default=None, help="artifact root (default: data_dir)")
     p.add_argument("--no_mask", action="store_true", help="disable silhouette masking")
+    p.add_argument("--trace_dir", default=None,
+                   help="capture an xprof-compatible device trace into this dir")
 
 
 def parse_args(argv=None) -> argparse.Namespace:
@@ -101,6 +103,7 @@ def main(argv=None) -> int:
         export_colmap=getattr(args, "export_colmap", True),
         export_meshlab=getattr(args, "export_meshlab", True),
         visualize=getattr(args, "visualize", False),
+        trace_dir=args.trace_dir,
     )
     try:
         from sfm_tpu.config import PnPConfig

@@ -92,6 +92,15 @@ def _detect_impl(image, mask, config: FeatureConfig, has_mask: bool) -> Features
     valid = response > 0
 
     if has_mask:
+        if config.mask_dilate > 0:
+            # Grow the foreground by mask_dilate px (morphological dilation as
+            # a max-pool) so keypoints on the silhouette boundary survive —
+            # the analogue of the reference's morphological close on the mask
+            # (find_matches.py:70).
+            d = 2 * config.mask_dilate + 1
+            mask = jax.lax.reduce_window(
+                mask, False, jax.lax.bitwise_or, (d, d), (1, 1), "SAME"
+            )
         h, w = image.shape
         xi = jnp.clip(jnp.round(xy[:, 0]).astype(jnp.int32), 0, w - 1)
         yi = jnp.clip(jnp.round(xy[:, 1]).astype(jnp.int32), 0, h - 1)

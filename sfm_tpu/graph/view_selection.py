@@ -15,9 +15,11 @@ Two reference bugs are fixed deliberately:
 from __future__ import annotations
 
 from collections import deque
-from typing import Dict, Iterable, List, Sequence, Tuple
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple
 
 import numpy as np
+
+from sfm_tpu.config import SelectConfig
 
 
 class SfMGraphSelector:
@@ -25,13 +27,16 @@ class SfMGraphSelector:
 
     Nodes are image ids; an edge is a verified pair with attributes
     num_matches / num_inliers / inlier_ratio / reprojection_error
-    (ref image_selector.py:22-45).
+    (ref image_selector.py:22-45). Scoring weights come from
+    :class:`~sfm_tpu.config.SelectConfig` (defaults = the reference's
+    constants, image_selector.py:71-75, :146-151).
     """
 
-    def __init__(self, records: Iterable[dict]):
+    def __init__(self, records: Iterable[dict], select: SelectConfig = SelectConfig()):
         """records: dicts with image1, image2, num_matches, num_inliers,
         inlier_ratio, reprojection_error — `PairTable.to_records()` output or
         rows read from a matching_results.csv."""
+        self.select = select
         self.edges: Dict[Tuple[int, int], dict] = {}
         nodes = set()
         for r in records:
@@ -55,11 +60,11 @@ class SfMGraphSelector:
             self.adj[self._index[j]].append(self._index[i])
 
     @classmethod
-    def from_pair_table(cls, table) -> "SfMGraphSelector":
-        return cls(table.to_records())
+    def from_pair_table(cls, table, select: SelectConfig = SelectConfig()) -> "SfMGraphSelector":
+        return cls(table.to_records(), select=select)
 
     @classmethod
-    def from_csv(cls, path) -> "SfMGraphSelector":
+    def from_csv(cls, path, select: SelectConfig = SelectConfig()) -> "SfMGraphSelector":
         import csv as _csv
         from pathlib import Path
 
@@ -78,7 +83,7 @@ class SfMGraphSelector:
                         "reprojection_error": float(row.get("reprojection_error", 0.0)),
                     }
                 )
-        return cls(rows)
+        return cls(rows, select=select)
 
     # -- centralities -------------------------------------------------------
 
@@ -122,8 +127,9 @@ class SfMGraphSelector:
         return bc
 
     def compute_node_importance(self) -> Dict[int, float]:
-        """importance = 0.4*degree + 0.3*betweenness + 0.3*norm-avg-inliers
-        (ref image_selector.py:47-77). Cached: the graph is static, and
+        """importance = w_degree*degree + w_betweenness*betweenness
+        + w_inliers*norm-avg-inliers (SelectConfig; ref defaults
+        image_selector.py:47-77). Cached: the graph is static, and
         Brandes at 100 nodes costs ~1 s in Python — recomputing it per
         registration dominated the 100-image reconstruction loop."""
         if getattr(self, "_importance_cache", None) is not None:
@@ -141,7 +147,8 @@ class SfMGraphSelector:
             avg_inl[k] = np.mean(vals) if vals else 0.0
         if avg_inl.max() > 0:
             avg_inl = avg_inl / avg_inl.max()
-        scores = 0.4 * deg + 0.3 * btw + 0.3 * avg_inl
+        w = self.select
+        scores = w.w_degree * deg + w.w_betweenness * btw + w.w_inliers * avg_inl
         self._importance_cache = {
             node: float(scores[k]) for k, node in enumerate(self.nodes)
         }
@@ -156,14 +163,17 @@ class SfMGraphSelector:
         return self.edges[(min(i, j), max(i, j))]
 
     def find_next_best_images(
-        self, constructed: Sequence[int], top_k: int = 5
+        self, constructed: Sequence[int], top_k: Optional[int] = None
     ) -> List[Tuple[int, float]]:
         """Rank unconstructed images connected to the constructed set.
 
-        score = 0.3*importance + 0.4*avg-connection-quality + 0.2*breadth
-                + 0.1*visibility  (ref image_selector.py:146-151; the
-        visibility term here actually varies with the candidate — bug fix).
+        score = w_importance*importance + w_connection_quality*avg-quality
+                + w_breadth*breadth + w_visibility*visibility
+        (SelectConfig; ref defaults image_selector.py:146-151 — the
+        visibility term here actually varies with the candidate, bug fix).
         """
+        if top_k is None:
+            top_k = self.select.top_k
         constructed = set(int(c) for c in constructed)
         importance = self.compute_node_importance()
         results = []
@@ -199,11 +209,12 @@ class SfMGraphSelector:
         total_inl = sum(self.edge(node, m)["num_inliers"] for m in self.neighbors(node))
         seen_inl = sum(self.edge(node, m)["num_inliers"] for m in links)
         visibility = seen_inl / total_inl if total_inl else 0.0
+        w = self.select
         score = (
-            0.3 * importance.get(node, 0.0)
-            + 0.4 * quality
-            + 0.2 * breadth
-            + 0.1 * visibility
+            w.w_importance * importance.get(node, 0.0)
+            + w.w_connection_quality * quality
+            + w.w_breadth * breadth
+            + w.w_visibility * visibility
         )
         return {
             "importance": importance.get(node, 0.0),

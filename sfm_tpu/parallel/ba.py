@@ -49,15 +49,23 @@ def shard_problem(problem: BAProblem, mesh) -> BAProblem:
 
 def run_ba_sharded(
     problem: BAProblem,
-    mesh,
+    mesh=None,
     config: BAConfig = BAConfig(),
     optimize_intrinsics: bool = True,
+    sharding=None,
 ):
     """run_ba with the observation axis sharded over ``mesh``.
 
-    The LM program itself is unchanged — sharding is purely a data-layout
-    declaration; GSPMD inserts the collectives.
+    ``mesh=None`` builds the mesh from ``sharding`` (a ShardingConfig;
+    defaults to all local devices). The LM program itself is unchanged —
+    sharding is purely a data-layout declaration; GSPMD inserts the
+    collectives.
     """
+    if mesh is None:
+        from sfm_tpu.config import ShardingConfig
+        from sfm_tpu.parallel.mesh import mesh_from_config
+
+        mesh = mesh_from_config(sharding if sharding is not None else ShardingConfig())
     sharded = shard_problem(problem, mesh)
     with jax.sharding.use_mesh(mesh) if hasattr(jax.sharding, "use_mesh") else _null():
         out, stats = run_ba(

@@ -29,6 +29,20 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
     return Mesh(np.array(devs), (axis,))
 
 
+def mesh_from_config(cfg) -> Mesh:
+    """Build the mesh described by a :class:`~sfm_tpu.config.ShardingConfig`:
+    ``mesh_shape=None`` -> all local devices on one ``data_axis``."""
+    n = None
+    if cfg.mesh_shape is not None:
+        if len(cfg.mesh_shape) != 1:
+            raise ValueError(
+                f"only 1-D meshes are supported (got shape {cfg.mesh_shape}); "
+                "every sharded stage partitions a single batch axis"
+            )
+        n = int(cfg.mesh_shape[0])
+    return make_mesh(n, axis=cfg.data_axis)
+
+
 def shard_batch(x, mesh: Mesh, axis: str = "data"):
     """Shard leading axis over the mesh (pads NOT applied here — callers pad)."""
     sharding = NamedSharding(mesh, P(axis))

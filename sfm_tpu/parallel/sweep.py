@@ -27,7 +27,7 @@ def sharded_all_pairs_sweep(
     xy,
     desc,
     valid,
-    mesh,
+    mesh=None,
     config: SfMConfig = SfMConfig(),
     pairs: Optional[np.ndarray] = None,
     key: Optional[jax.Array] = None,
@@ -35,9 +35,14 @@ def sharded_all_pairs_sweep(
 ) -> PairTable:
     """all_pairs_sweep with the pair axis sharded over ``mesh``.
 
-    The chunk program is identical to the single-device sweep; sharding is
-    declared on its batch inputs and GSPMD partitions the vmap.
+    ``mesh=None`` builds the mesh from ``config.sharding``. The chunk program
+    is identical to the single-device sweep; sharding is declared on its
+    batch inputs and GSPMD partitions the vmap.
     """
+    if mesh is None:
+        from sfm_tpu.parallel.mesh import mesh_from_config
+
+        mesh = mesh_from_config(config.sharding)
     axis = mesh.axis_names[0]
     n_dev = mesh.devices.size
     chunk = pairs_per_device * n_dev

@@ -7,6 +7,7 @@ a complete restart point for reconstruct — SURVEY.md section 1/5.4).
 """
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 import logging
 import pickle
@@ -15,6 +16,7 @@ from pathlib import Path
 from typing import Optional
 
 from sfm_tpu.config import SfMConfig
+from sfm_tpu.utils.observability import Metrics, stage, trace_to
 
 logger = logging.getLogger(__name__)
 
@@ -33,6 +35,7 @@ class PipelineArgs:
     export_colmap: bool = True
     export_meshlab: bool = True
     visualize: bool = False
+    trace_dir: Optional[str] = None   # xprof-compatible device trace output
 
 
 class SfMPipeline:
@@ -45,6 +48,17 @@ class SfMPipeline:
         self._setup_directories()
         self.matcher = None
         self.result = None
+        self.metrics = Metrics()
+
+    def _maybe_trace(self):
+        """Device-trace context when ``trace_dir`` is set, else a no-op."""
+        if self.args.trace_dir:
+            return trace_to(self.args.trace_dir)
+        return contextlib.nullcontext()
+
+    def save_metrics(self):
+        """Metrics JSON next to the run artifacts (SURVEY.md section 5)."""
+        self.metrics.save(self.output_dir / "metrics.json")
 
     # ----------------------------------------------------------- validation
 
@@ -80,13 +94,15 @@ class SfMPipeline:
 
         t0 = time.time()
         try:
-            self.matcher = ImageMatcher(
-                self.data_dir, self.config, output_dir=self.output_dir
-            )
-            self.matcher.process_image_range(
-                self.args.start_idx, self.args.end_idx, use_mask=self.args.use_mask
-            )
-            self.matcher.save_results()
+            with stage("preprocess", self.metrics), self._maybe_trace():
+                self.matcher = ImageMatcher(
+                    self.data_dir, self.config, output_dir=self.output_dir
+                )
+                self.matcher.process_image_range(
+                    self.args.start_idx, self.args.end_idx, use_mask=self.args.use_mask
+                )
+                self.matcher.save_results()
+            self.metrics.log("pairs/accepted", int(len(self.matcher.table.accepted())))
             with (self.output_dir / "pair_table.pkl").open("wb") as f:
                 # descriptors are device-resident and not needed downstream
                 pickle.dump(
@@ -110,6 +126,7 @@ class SfMPipeline:
             if self.args.visualize and len(self.matcher.table.accepted()):
                 for p in self.matcher.table.accepted()[:20]:
                     self.matcher.visualize_matches(int(p))
+            self.save_metrics()
             logger.info("preprocessing done in %.1fs", time.time() - t0)
             return True
         except Exception:
@@ -130,8 +147,11 @@ class SfMPipeline:
                 blob = pickle.loads((self.output_dir / "pair_table.pkl").read_bytes())
                 table = blob["table"]
                 xy = blob["xy"]
-            sfm = StructureFromMotion(table, xy, self.config)
-            self.result = sfm.run_reconstruction(self.args.num_images)
+            with stage("reconstruct", self.metrics), self._maybe_trace():
+                sfm = StructureFromMotion(table, xy, self.config, metrics=self.metrics)
+                self.result = sfm.run_reconstruction(self.args.num_images)
+            for k in ("num_cameras", "num_points", "mean_reprojection_error"):
+                self.metrics.log(f"reconstruction/{k}", self.result.stats[k])
             recon_dir = self.output_dir / "reconstruction"
             save_reconstruction(self.result, recon_dir)
 
@@ -146,6 +166,7 @@ class SfMPipeline:
                 )
             if self.args.export_meshlab:
                 exporter.export_meshlab(self.output_dir / "exports" / "meshlab.ply")
+            self.save_metrics()
             logger.info("reconstruction done in %.1fs", time.time() - t0)
             return True
         except Exception:

@@ -14,6 +14,7 @@ Key design moves vs the reference:
 """
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 import logging
 import time
@@ -34,15 +35,17 @@ from sfm_tpu.ba import run_ba
 from sfm_tpu.ba.problem import build_problem
 from sfm_tpu.reconstruction.tracks import build_tracks, TrackTable
 from sfm_tpu.reconstruction.seed import find_best_initial_pair
+from sfm_tpu.utils.observability import Metrics
 
 logger = logging.getLogger(__name__)
 
 
 
-@partial(jax.jit, static_argnames=("max_err",))
+@partial(jax.jit, static_argnames=("max_err", "min_parallax_deg"))
 def _triangulate_tracks(
     view_img, view_xy, view_valid, rvec, tvec, registered, K, active,
     max_err: float = 4.0,
+    min_parallax_deg: float = 0.0,
 ):
     """Triangulate every active track from its registered views.
 
@@ -51,11 +54,15 @@ def _triangulate_tracks(
     Returns (points (T, 3), ok (T,) bool). A track is ok when it has >= 2
     registered views, all its used views see the point in front of the
     camera, and the max reprojection error over used views is <= max_err
-    (ref gate 4.0 px, sfm_reconstruction.py:299-305).
+    (ref gate 4.0 px, sfm_reconstruction.py:299-305). With
+    min_parallax_deg > 0, the maximum pairwise ray angle across used views
+    must also reach that threshold (rejects near-zero-baseline tracks whose
+    depth is unconstrained; the reference has no such gate).
     """
     C = rvec.shape[0]
     Rs = rodrigues(rvec)                                   # (C, 3, 3)
     P_all = jnp.einsum("ij,cjk->cik", K, jnp.concatenate([Rs, tvec[..., None]], axis=-1))
+    centers = -jnp.einsum("cji,cj->ci", Rs, tvec)          # (C, 3) cam centers
 
     img = jnp.clip(view_img, 0, C - 1)
     use = view_valid & registered[img]                     # (T, V)
@@ -74,6 +81,15 @@ def _triangulate_tracks(
             & jnp.all(jnp.where(use_row, depth > 0, True))
             & (jnp.max(jnp.where(use_row, err, 0.0)) <= max_err)
         )
+        if min_parallax_deg > 0.0:
+            c_v = centers[jnp.clip(img_row, 0, C - 1)]     # (V, 3)
+            rays = X[None, :] - c_v
+            rays = rays / jnp.maximum(jnp.linalg.norm(rays, axis=-1, keepdims=True), 1e-12)
+            cosang = rays @ rays.T                         # (V, V)
+            pair_ok = use_row[:, None] & use_row[None, :]
+            min_cos = jnp.min(jnp.where(pair_ok, cosang, 1.0))
+            max_ang = jnp.degrees(jnp.arccos(jnp.clip(min_cos, -1.0, 1.0)))
+            ok = ok & (max_ang >= min_parallax_deg)
         return X, ok
 
     pts, ok = jax.vmap(one)(view_img, view_xy, use)
@@ -125,7 +141,9 @@ class StructureFromMotion:
     config : SfMConfig.
     """
 
-    def __init__(self, table, xy, config: SfMConfig = SfMConfig()):
+    def __init__(self, table, xy, config: SfMConfig = SfMConfig(),
+                 metrics: Optional[Metrics] = None):
+        self.metrics = metrics if metrics is not None else Metrics()
         self.table = table
         self.xy = np.asarray(xy, np.float32)
         self.config = config
@@ -137,7 +155,7 @@ class StructureFromMotion:
             n_rescued = rescue_disconnected(table, self.num_images)
             if n_rescued:
                 logger.info("rescued %d sub-gate pairs for pairless images", n_rescued)
-        self.selector = SfMGraphSelector.from_pair_table(table)
+        self.selector = SfMGraphSelector.from_pair_table(table, select=config.select)
         self.tracks: TrackTable = build_tracks(table, self.xy, self.num_images)
         logger.info(
             "tracks: %d (max length %d)",
@@ -162,10 +180,29 @@ class StructureFromMotion:
         )
         self._key = jax.random.key(config.seed)
         self._ba_calls = 0
-        self.stage_s = {"select": 0.0, "pnp": 0.0, "triangulate": 0.0, "ba": 0.0,
-                        "init": 0.0, "prune": 0.0, "stats": 0.0, "assemble": 0.0}
 
     # ------------------------------------------------------------------ utils
+
+    @contextlib.contextmanager
+    def _stage(self, name: str):
+        """Engine stage timing through the observability sink: wall-clock into
+        ``self.metrics`` + a jax.profiler TraceAnnotation so device traces
+        line up with the loop phases (SURVEY.md section 5, tracing row)."""
+        t0 = time.time()
+        with jax.profiler.TraceAnnotation(f"sfm/{name}"):
+            yield
+        self.metrics.log(f"engine/{name}", time.time() - t0, unit="s")
+
+    @property
+    def stage_s(self) -> Dict[str, float]:
+        """Accumulated per-stage engine seconds (from the metrics sink).
+        Namespaced ``engine/`` so pipeline-level ``stage/`` records sharing
+        the sink don't leak into the engine's own breakdown."""
+        return {
+            k.split("/", 1)[1]: v
+            for k, v in self.metrics.totals().items()
+            if k.startswith("engine/")
+        }
 
     def _next_key(self):
         self._key, k = jax.random.split(self._key)
@@ -179,9 +216,8 @@ class StructureFromMotion:
 
     def initialize(self) -> Tuple[int, int]:
         """Seed-pair two-view initialization (ref :61-155)."""
-        _t0 = time.time()
-        row, R, t, score = find_best_initial_pair(self.table, self._camera_matrix())
-        self.stage_s["init"] += time.time() - _t0
+        with self._stage("init"):
+            row, R, t, score = find_best_initial_pair(self.table, self._camera_matrix())
         i, j = (int(v) for v in self.table.pairs[row])
         logger.info("seed pair (%d, %d) score %.1f", i, j, score)
         self.rvec[i] = 0.0
@@ -195,25 +231,25 @@ class StructureFromMotion:
 
     def _triangulate(self):
         """(Re)triangulate all tracks that lack a point but are now viewable."""
-        _t0 = time.time()
-        active = ~self.point_valid & (self.tracks.length >= self.config.triangulation.min_views)
-        if not active.any():
-            return 0
-        pts, ok = _triangulate_tracks(
-            jnp.asarray(self.tracks.view_img),
-            jnp.asarray(self.tracks.view_xy),
-            jnp.asarray(self.view_valid),
-            jnp.asarray(self.rvec),
-            jnp.asarray(self.tvec),
-            jnp.asarray(self.registered),
-            jnp.asarray(self._camera_matrix()),
-            jnp.asarray(active),
-            max_err=self.config.triangulation.max_reproj_error,
-        )
-        ok = np.asarray(ok)
-        self.points[ok] = np.asarray(pts)[ok]
-        self.point_valid |= ok
-        self.stage_s["triangulate"] += time.time() - _t0
+        with self._stage("triangulate"):
+            active = ~self.point_valid & (self.tracks.length >= self.config.triangulation.min_views)
+            if not active.any():
+                return 0
+            pts, ok = _triangulate_tracks(
+                jnp.asarray(self.tracks.view_img),
+                jnp.asarray(self.tracks.view_xy),
+                jnp.asarray(self.view_valid),
+                jnp.asarray(self.rvec),
+                jnp.asarray(self.tvec),
+                jnp.asarray(self.registered),
+                jnp.asarray(self._camera_matrix()),
+                jnp.asarray(active),
+                max_err=self.config.triangulation.max_reproj_error,
+                min_parallax_deg=self.config.triangulation.min_parallax_deg,
+            )
+            ok = np.asarray(ok)
+            self.points[ok] = np.asarray(pts)[ok]
+            self.point_valid |= ok
         return int(ok.sum())
 
     def _pnp_correspondences(self, img: int):
@@ -234,37 +270,34 @@ class StructureFromMotion:
         register badly before their pool grows (measured: bunny error 0.30 ->
         1.02 px when the fallback ran in the normal flow).
         """
-        _t0 = time.time()
-        t_ids, pts3d, xy = self._pnp_correspondences(img)
-        n = len(t_ids)
-        gate = self.config.pnp.min_inliers
-        pool_floor = max(gate, self.config.pnp.min_matches)
-        if weak and n < pool_floor:
-            gate = max(self.config.pnp.min_inliers_floor, int(0.8 * n))
-            pool_floor = gate
-        if n < pool_floor:
-            self.stage_s["pnp"] += time.time() - _t0
-            return False
-        budget = self.config.pnp.budget
-        p3 = np.zeros((budget, 3), np.float32)
-        p2 = np.zeros((budget, 2), np.float32)
-        valid = np.zeros(budget, bool)
-        m = min(n, budget)
-        p3[:m], p2[:m], valid[:m] = pts3d[:m], xy[:m], True
-        out = pnp_ransac(
-            self._next_key(), p3, p2, valid, self._camera_matrix(),
-            iters=self.config.pnp.ransac_iters,
-            threshold=self.config.pnp.reproj_threshold,
-            min_inliers=gate,
-            refine_iters=self.config.pnp.refine_iters,
-            sample_size=self.config.pnp.sample_size,
-        )
-        n_inl = int(out["num_inliers"])
-        ratio_ok = n_inl >= self.config.pnp.min_inlier_ratio * min(n, budget)
-        if not (bool(out["ok"]) and (ratio_ok or weak)):
-            self.stage_s["pnp"] += time.time() - _t0
-            return False
-        self.stage_s["pnp"] += time.time() - _t0
+        with self._stage("pnp"):
+            t_ids, pts3d, xy = self._pnp_correspondences(img)
+            n = len(t_ids)
+            gate = self.config.pnp.min_inliers
+            pool_floor = max(gate, self.config.pnp.min_matches)
+            if weak and n < pool_floor:
+                gate = max(self.config.pnp.min_inliers_floor, int(0.8 * n))
+                pool_floor = gate
+            if n < pool_floor:
+                return False
+            budget = self.config.pnp.budget
+            p3 = np.zeros((budget, 3), np.float32)
+            p2 = np.zeros((budget, 2), np.float32)
+            valid = np.zeros(budget, bool)
+            m = min(n, budget)
+            p3[:m], p2[:m], valid[:m] = pts3d[:m], xy[:m], True
+            out = pnp_ransac(
+                self._next_key(), p3, p2, valid, self._camera_matrix(),
+                iters=self.config.pnp.ransac_iters,
+                threshold=self.config.pnp.reproj_threshold,
+                min_inliers=gate,
+                refine_iters=self.config.pnp.refine_iters,
+                sample_size=self.config.pnp.sample_size,
+            )
+            n_inl = int(out["num_inliers"])
+            ratio_ok = n_inl >= self.config.pnp.min_inlier_ratio * min(n, budget)
+            if not (bool(out["ok"]) and (ratio_ok or weak)):
+                return False
         self.rvec[img] = np.asarray(out["rvec"])
         self.tvec[img] = np.asarray(out["t"])
         self.registered[img] = True
@@ -285,40 +318,38 @@ class StructureFromMotion:
         reduction in device round trips, which dominate the loop on a
         remote-tunneled TPU (~90 ms each).
         """
-        _t0 = time.time()
-        B = self.config.pnp.candidate_batch
-        pool_floor = max(self.config.pnp.min_inliers, self.config.pnp.min_matches)
-        slate = []  # (img, n, pts3d, xy)
-        for img, _score in candidates:
-            if len(slate) >= B:
-                break
-            t_ids, pts3d, xy = self._pnp_correspondences(int(img))
-            if len(t_ids) >= pool_floor:
-                slate.append((int(img), len(t_ids), pts3d, xy))
-        if not slate:
-            self.stage_s["pnp"] += time.time() - _t0
-            return 0
-        budget = self.config.pnp.budget
-        # Fixed batch B (pad with invalid lanes): one compiled program.
-        p3 = np.zeros((B, budget, 3), np.float32)
-        p2 = np.zeros((B, budget, 2), np.float32)
-        valid = np.zeros((B, budget), bool)
-        gates = np.full(B, self.config.pnp.min_inliers, np.int32)
-        for a, (_img, n, pts3d, xy) in enumerate(slate):
-            m = min(n, budget)
-            p3[a, :m], p2[a, :m], valid[a, :m] = pts3d[:m], xy[:m], True
-        keys = jax.random.split(self._next_key(), B)
-        out = pnp_ransac_batch(
-            keys, p3, p2, valid, self._camera_matrix(), gates,
-            iters=self.config.pnp.ransac_iters,
-            threshold=self.config.pnp.reproj_threshold,
-            refine_iters=self.config.pnp.refine_iters,
-            sample_size=self.config.pnp.sample_size,
-        )
-        rvecs, ts, nums, oks = map(np.asarray, (
-            out["rvec"], out["t"], out["num_inliers"], out["ok"]
-        ))
-        self.stage_s["pnp"] += time.time() - _t0
+        with self._stage("pnp"):
+            B = self.config.pnp.candidate_batch
+            pool_floor = max(self.config.pnp.min_inliers, self.config.pnp.min_matches)
+            slate = []  # (img, n, pts3d, xy)
+            for img, _score in candidates:
+                if len(slate) >= B:
+                    break
+                t_ids, pts3d, xy = self._pnp_correspondences(int(img))
+                if len(t_ids) >= pool_floor:
+                    slate.append((int(img), len(t_ids), pts3d, xy))
+            if not slate:
+                return 0
+            budget = self.config.pnp.budget
+            # Fixed batch B (pad with invalid lanes): one compiled program.
+            p3 = np.zeros((B, budget, 3), np.float32)
+            p2 = np.zeros((B, budget, 2), np.float32)
+            valid = np.zeros((B, budget), bool)
+            gates = np.full(B, self.config.pnp.min_inliers, np.int32)
+            for a, (_img, n, pts3d, xy) in enumerate(slate):
+                m = min(n, budget)
+                p3[a, :m], p2[a, :m], valid[a, :m] = pts3d[:m], xy[:m], True
+            keys = jax.random.split(self._next_key(), B)
+            out = pnp_ransac_batch(
+                keys, p3, p2, valid, self._camera_matrix(), gates,
+                iters=self.config.pnp.ransac_iters,
+                threshold=self.config.pnp.reproj_threshold,
+                refine_iters=self.config.pnp.refine_iters,
+                sample_size=self.config.pnp.sample_size,
+            )
+            rvecs, ts, nums, oks = map(np.asarray, (
+                out["rvec"], out["t"], out["num_inliers"], out["ok"]
+            ))
         n_registered = 0
         for a, (img, n, _p3, _xy) in enumerate(slate):
             if n_registered >= max_accept:
@@ -354,9 +385,8 @@ class StructureFromMotion:
 
     def bundle_adjust(self, final: bool = False):
         """Run the sparse LM program on the current state (ref :401-549)."""
-        _ta = time.time()
-        obs_cam, obs_point, obs_xy, obs_valid = self._ba_problem_arrays()
-        self.stage_s["assemble"] += time.time() - _ta
+        with self._stage("assemble"):
+            obs_cam, obs_point, obs_xy, obs_valid = self._ba_problem_arrays()
         cam_fixed = np.zeros(self.num_images, bool)
         if self.reg_order:
             cam_fixed[self.reg_order[0]] = True
@@ -367,22 +397,22 @@ class StructureFromMotion:
             obs_valid=obs_valid, cam_fixed=cam_fixed,
         )
         cfg = self.config.ba
-        _t0 = time.time()
-        out, stats = run_ba(
-            prob, cfg,
-            optimize_intrinsics=cfg.optimize_intrinsics,
-        )
-        self._ba_calls += 1
-        logger.info(
-            "BA #%d: cost %.1f -> %.1f (%d its, rms %.3f px)",
-            self._ba_calls, float(stats["initial_cost"]), float(stats["final_cost"]),
-            int(stats["iterations"]), float(stats["rms_px"]),
-        )
-        self.rvec = np.array(out.rvec)[: self.num_images]
-        self.tvec = np.array(out.tvec)[: self.num_images]
-        self.intr = np.array(out.intr)
-        self.points = np.array(out.points)[: self.points.shape[0]]
-        self.stage_s["ba"] += time.time() - _t0  # after the syncing downloads
+        with self._stage("ba"):  # closes after the syncing downloads
+            out, stats = run_ba(
+                prob, cfg,
+                optimize_intrinsics=cfg.optimize_intrinsics,
+            )
+            self._ba_calls += 1
+            logger.info(
+                "BA #%d: cost %.1f -> %.1f (%d its, rms %.3f px)",
+                self._ba_calls, float(stats["initial_cost"]), float(stats["final_cost"]),
+                int(stats["iterations"]), float(stats["rms_px"]),
+            )
+            self.rvec = np.array(out.rvec)[: self.num_images]
+            self.tvec = np.array(out.tvec)[: self.num_images]
+            self.intr = np.array(out.intr)
+            self.points = np.array(out.points)[: self.points.shape[0]]
+        self.metrics.log("ba/rms_px", float(stats["rms_px"]), call=self._ba_calls)
         if self.config.ba.prune_multiplier > 0:
             self.prune_observations(
                 self.config.ba.prune_multiplier
@@ -397,20 +427,19 @@ class StructureFromMotion:
         """
         if threshold is None:
             threshold = self.config.triangulation.max_reproj_error * 2.0
-        _t0 = time.time()
-        err, use = map(np.asarray, _reproj_stats(
-            jnp.asarray(self.tracks.view_img),
-            jnp.asarray(self.tracks.view_xy),
-            jnp.asarray(self.view_valid),
-            jnp.asarray(self.rvec),
-            jnp.asarray(self.tvec),
-            jnp.asarray(self.registered),
-            jnp.asarray(self._camera_matrix()),
-            jnp.asarray(self.points),
-            jnp.asarray(self.point_valid),
-        ))
-        bad = use & (err > threshold)
-        self.stage_s["prune"] += time.time() - _t0
+        with self._stage("prune"):
+            err, use = map(np.asarray, _reproj_stats(
+                jnp.asarray(self.tracks.view_img),
+                jnp.asarray(self.tracks.view_xy),
+                jnp.asarray(self.view_valid),
+                jnp.asarray(self.rvec),
+                jnp.asarray(self.tvec),
+                jnp.asarray(self.registered),
+                jnp.asarray(self._camera_matrix()),
+                jnp.asarray(self.points),
+                jnp.asarray(self.point_valid),
+            ))
+            bad = use & (err > threshold)
         if not bad.any():
             return 0
         self.view_valid &= ~bad
@@ -482,11 +511,10 @@ class StructureFromMotion:
         last_ckpt = len(self.reg_order)
         freq = max(1, self.config.ba.frequency)
         while len(self.reg_order) < limit:
-            _t0 = time.time()
-            candidates = self.selector.find_next_best_images(
-                [i for i in self.reg_order], top_k=self.num_images
-            )
-            self.stage_s["select"] += time.time() - _t0
+            with self._stage("select"):
+                candidates = self.selector.find_next_best_images(
+                    [i for i in self.reg_order], top_k=self.num_images
+                )
             if not candidates:
                 logger.info("no more connected candidates")
                 break
@@ -554,23 +582,22 @@ class StructureFromMotion:
 
     def compute_stats(self) -> dict:
         """Mean/max reprojection error, track lengths, counts (ref :582-631)."""
-        _t0 = time.time()
-        err, use = _reproj_stats(
-            jnp.asarray(self.tracks.view_img),
-            jnp.asarray(self.tracks.view_xy),
-            jnp.asarray(self.view_valid),
-            jnp.asarray(self.rvec),
-            jnp.asarray(self.tvec),
-            jnp.asarray(self.registered),
-            jnp.asarray(self._camera_matrix()),
-            jnp.asarray(self.points),
-            jnp.asarray(self.point_valid),
-        )
-        err = np.asarray(err)
-        use = np.asarray(use)
-        n_obs = int(use.sum())
-        lengths = use.sum(axis=1)[self.point_valid]
-        self.stage_s["stats"] += time.time() - _t0
+        with self._stage("stats"):
+            err, use = _reproj_stats(
+                jnp.asarray(self.tracks.view_img),
+                jnp.asarray(self.tracks.view_xy),
+                jnp.asarray(self.view_valid),
+                jnp.asarray(self.rvec),
+                jnp.asarray(self.tvec),
+                jnp.asarray(self.registered),
+                jnp.asarray(self._camera_matrix()),
+                jnp.asarray(self.points),
+                jnp.asarray(self.point_valid),
+            )
+            err = np.asarray(err)
+            use = np.asarray(use)
+            n_obs = int(use.sum())
+            lengths = use.sum(axis=1)[self.point_valid]
         return {
             "num_cameras": int(self.registered.sum()),
             "num_points": int(self.point_valid.sum()),

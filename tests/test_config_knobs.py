@@ -1,0 +1,192 @@
+"""Every config knob must have a real consumer (round-1 verdict: several
+fields were parsed but read by nothing). These tests pin the behavior each
+knob controls so schema rot is caught."""
+import dataclasses
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from sfm_tpu.config import (
+    SfMConfig, SelectConfig, PnPConfig, BAConfig, FeatureConfig,
+    TriangulationConfig, ShardingConfig, MatchConfig, VerifyConfig,
+)
+from sfm_tpu.graph import SfMGraphSelector
+
+from tests.test_graph import line_graph_records
+
+
+class TestSelectConfig:
+    def test_importance_weights_consumed(self):
+        recs = line_graph_records(7)
+        g_deg = SfMGraphSelector(recs, select=SelectConfig(
+            w_degree=1.0, w_betweenness=0.0, w_inliers=0.0))
+        imp = g_deg.compute_node_importance()
+        deg = g_deg.degree_centrality()
+        for k, node in enumerate(g_deg.nodes):
+            assert imp[node] == pytest.approx(deg[k])
+
+    def test_score_weights_consumed(self):
+        recs = line_graph_records(6)
+        g_vis = SfMGraphSelector(recs, select=SelectConfig(
+            w_importance=0.0, w_connection_quality=0.0,
+            w_breadth=0.0, w_visibility=1.0))
+        comps = g_vis.score_components(2, [0, 1])
+        assert comps["score"] == pytest.approx(comps["visibility"])
+
+    def test_top_k_default_from_config(self):
+        recs = line_graph_records(9)
+        # star: connect 0 to everything so all are candidates
+        recs += [
+            {"image1": 0, "image2": j, "num_matches": 30, "num_inliers": 20,
+             "inlier_ratio": 0.7, "reprojection_error": 1.0}
+            for j in range(2, 9)
+        ]
+        g = SfMGraphSelector(recs, select=SelectConfig(top_k=3))
+        assert len(g.find_next_best_images([0])) == 3
+
+
+class TestTriangulationKnobs:
+    def test_min_parallax_gate(self):
+        """Two cameras with a tiny baseline see the point: accepted without
+        the gate, rejected with min_parallax_deg above the actual angle."""
+        from sfm_tpu.reconstruction.incremental import _triangulate_tracks
+
+        K = jnp.array([[1000.0, 0, 256], [0, 1000.0, 256], [0, 0, 1]], jnp.float32)
+        X = np.array([0.0, 0.0, 10.0], np.float32)
+        # camera 0 at origin; camera 1 offset by 0.05 in x -> parallax ~0.29 deg
+        rvec = jnp.zeros((2, 3), jnp.float32)
+        tvec = jnp.array([[0, 0, 0], [-0.05, 0, 0]], jnp.float32)
+        xy0 = (1000 * X[:2] / X[2]) + np.array([256, 256])
+        xy1 = (1000 * (X[:2] - np.array([0.05, 0.0])) / X[2]) + np.array([256, 256])
+        view_img = jnp.array([[0, 1]], jnp.int32)
+        view_xy = jnp.array([[xy0, xy1]], jnp.float32)
+        args = (view_img, view_xy, jnp.ones((1, 2), bool), rvec, tvec,
+                jnp.ones(2, bool), K, jnp.ones(1, bool))
+        _, ok_open = _triangulate_tracks(*args, max_err=4.0, min_parallax_deg=0.0)
+        _, ok_gated = _triangulate_tracks(*args, max_err=4.0, min_parallax_deg=2.0)
+        _, ok_low = _triangulate_tracks(*args, max_err=4.0, min_parallax_deg=0.1)
+        assert bool(ok_open[0]) and bool(ok_low[0])
+        assert not bool(ok_gated[0])
+
+
+class TestMaskDilate:
+    def test_dilate_admits_boundary_keypoints(self):
+        from sfm_tpu.features import detect_and_describe
+
+        from scipy.ndimage import gaussian_filter
+
+        rng = np.random.default_rng(0)
+        img = gaussian_filter(rng.uniform(0, 1, (128, 128)), 2.0)
+        img = ((img - img.min()) / (img.max() - img.min())).astype(np.float32)
+        mask = np.zeros((128, 128), bool)
+        mask[:, :64] = True  # right half masked out
+        cfg0 = FeatureConfig(max_keypoints=256, num_octaves=2,
+                             upsample_first_octave=False, mask_dilate=0)
+        cfg8 = dataclasses.replace(cfg0, mask_dilate=8)
+        f0 = detect_and_describe(img, mask, cfg0)
+        f8 = detect_and_describe(img, mask, cfg8)
+        n0, n8 = int(f0.valid.sum()), int(f8.valid.sum())
+        assert n8 > n0  # dilation admits keypoints just past the boundary
+        # And dilated-mask keypoints stay within the grown region.
+        xs = np.asarray(f8.xy[np.asarray(f8.valid), 0])
+        assert xs.max() <= 64 + 8 + 1.5
+
+
+class TestDenseSchur:
+    def test_dense_matches_pcg(self):
+        """The dense-Cholesky small-scene path must agree with PCG."""
+        from sfm_tpu.ba import run_ba
+        from sfm_tpu.ba.problem import build_problem
+        from sfm_tpu.geometry import project
+
+        rng = np.random.default_rng(5)
+        n_cams, n_pts = 6, 300
+        pts = rng.uniform(-2, 2, (n_pts, 3)).astype(np.float32)
+        pts[:, 2] += 8.0
+        rvec = 0.01 * rng.normal(size=(n_cams, 3)).astype(np.float32)
+        tvec = np.concatenate(
+            [rng.uniform(-1, 1, (n_cams, 2)), np.zeros((n_cams, 1))], 1
+        ).astype(np.float32)
+        intr = np.array([800.0, 800.0, 256.0, 256.0], np.float32)
+        K = np.array([[800, 0, 256], [0, 800, 256], [0, 0, 1]], np.float32)
+        obs_cam = np.repeat(np.arange(n_cams, dtype=np.int32), n_pts)
+        obs_point = np.tile(np.arange(n_pts, dtype=np.int32), n_cams)
+        from sfm_tpu.geometry.rotations import rodrigues
+
+        xy = []
+        for c in range(n_cams):
+            R = np.asarray(rodrigues(jnp.asarray(rvec[c])))
+            p, _ = project(pts, R, tvec[c], K)
+            xy.append(np.asarray(p))
+        obs_xy = np.concatenate(xy) + rng.normal(scale=0.4, size=(len(obs_cam), 2)).astype(np.float32)
+        prob = build_problem(
+            rvec=rvec, tvec=tvec, cam_valid=np.ones(n_cams, bool), intr=intr,
+            points=pts, point_valid=np.ones(n_pts, bool),
+            obs_cam=obs_cam, obs_point=obs_point, obs_xy=obs_xy,
+            obs_valid=np.ones(len(obs_cam), bool),
+        )
+        base = dict(max_iterations=8, cg_iters=60, cg_tol=1e-8, ftol=0.0)
+        _, s_pcg = run_ba(prob, BAConfig(use_dense_schur_below=0, **base),
+                          optimize_intrinsics=False)
+        _, s_dense = run_ba(prob, BAConfig(use_dense_schur_below=64, **base),
+                            optimize_intrinsics=False)
+        assert float(s_dense["final_cost"]) == pytest.approx(
+            float(s_pcg["final_cost"]), rel=1e-2)
+        assert float(s_dense["rms_px"]) < 0.5
+
+
+class TestShardingConfig:
+    def test_mesh_from_config(self):
+        from sfm_tpu.parallel.mesh import mesh_from_config
+
+        mesh = mesh_from_config(ShardingConfig(data_axis="d", mesh_shape=(8,)))
+        assert mesh.devices.size == 8
+        assert mesh.axis_names == ("d",)
+
+    def test_mesh_from_config_rejects_2d(self):
+        from sfm_tpu.parallel.mesh import mesh_from_config
+
+        with pytest.raises(ValueError):
+            mesh_from_config(ShardingConfig(mesh_shape=(2, 4)))
+
+    def test_default_all_devices(self):
+        from sfm_tpu.parallel.mesh import mesh_from_config
+
+        mesh = mesh_from_config(ShardingConfig())
+        assert mesh.devices.size == 8  # conftest forces 8 virtual CPUs
+
+
+class TestMinMatches:
+    def test_min_matches_gates_registration(self):
+        """An image whose 2D-3D pool is below min_matches must not register
+        (ref MIN_MATCHES gate, sfm_reconstruction.py:15, :324)."""
+        from tests.test_reconstruction import make_multiview
+        from sfm_tpu.matching import all_pairs_sweep
+        from sfm_tpu.reconstruction import StructureFromMotion
+
+        rng = np.random.default_rng(3)
+        scene = make_multiview(rng, n_cams=5, n_pts=120, K_budget=128, D=32)
+        cfg = SfMConfig(
+            matching=MatchConfig(max_matches=128),
+            verify=VerifyConfig(ransac_iters=256),
+            pnp=PnPConfig(ransac_iters=256),
+            ba=BAConfig(max_iterations=5, cg_iters=20, optimize_intrinsics=False),
+        )
+        table = all_pairs_sweep(scene["xy"], scene["desc"], scene["valid"], cfg, chunk_size=4)
+
+        sfm = StructureFromMotion(table, scene["xy"], cfg)
+        sfm.initialize()
+        ranked = sfm.selector.find_next_best_images(sfm.reg_order, top_k=1)
+        img = int(ranked[0][0])
+        pool = len(sfm._pnp_correspondences(img)[0])
+        assert pool >= 20
+
+        # Same state, but a min_matches above the pool size: gate refuses.
+        strict = cfg.replace(pnp=dataclasses.replace(cfg.pnp, min_matches=pool + 1))
+        sfm_strict = StructureFromMotion(table, scene["xy"], strict)
+        sfm_strict.initialize()
+        assert not sfm_strict.register_image(img)
+        assert sfm_strict.register_candidates([(img, 1.0)], max_accept=1) == 0
+        # The permissive config registers the same image from the same state.
+        assert sfm.register_image(img)

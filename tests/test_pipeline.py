@@ -82,6 +82,13 @@ class TestPipeline:
             PipelineArgs(data_dir=str(dataset), output_dir=str(out)), CFG
         )
         assert pipe2.run_reconstruction()
+        # Observability: the run must leave a metrics JSON with the stage
+        # timings + reconstruction gauges next to the artifacts.
+        metrics = json.loads((out / "metrics.json").read_text())
+        names = {m["name"] for m in metrics}
+        assert "stage/reconstruct" in names
+        assert "engine/ba" in names         # engine stages flow into the sink
+        assert "reconstruction/num_cameras" in names
         recon = out / "reconstruction"
         poses = json.loads((recon / "poses.json").read_text())
         assert len(poses) >= 3
