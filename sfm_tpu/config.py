@@ -97,6 +97,22 @@ class PnPConfig:
                                        # is < min_inliers may register at
                                        # max(floor, 0.8*pool) — BA + pruning
                                        # contain the extra risk
+    guided: bool = True                # guided registration for images the
+                                       # pair graph failed: match the image's
+                                       # descriptors directly against the
+                                       # triangulated model's observation
+                                       # descriptors (2D-3D localization; the
+                                       # reference just loses such cameras)
+    guided_ratio: float = 0.9          # relaxed Lowe ratio for guided 2D-3D
+                                       # matches (second-best from a DIFFERENT
+                                       # track, COLMAP-style)
+    guided_pool: int = 8192            # model-descriptor budget (up to 2
+                                       # observations per triangulated track)
+    guided_iters: int = 32768          # RANSAC budget for guided PnP: rescue
+                                       # targets sit at ~0.3-0.4 inlier ratio,
+                                       # where 6-point samples need ~16x the
+                                       # standard budget (0.4^6 per draw);
+                                       # guided runs rarely, one dispatch
 
 
 @dataclasses.dataclass(frozen=True)

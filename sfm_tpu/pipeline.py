@@ -103,15 +103,22 @@ class SfMPipeline:
                 )
                 self.matcher.save_results()
             self.metrics.log("pairs/accepted", int(len(self.matcher.table.accepted())))
+            import numpy as np
+
+            # Descriptors enable guided (2D-3D localization) registration in
+            # the reconstruct stage; persisted fp16 with a size guard so the
+            # stage-boundary artifact stays reasonable at 1000-image scale.
+            desc = np.asarray(self.matcher.features["desc"], np.float16)
+            blob = {
+                "table": self.matcher.table,
+                "xy": self.matcher.features["xy"],
+                "valid": self.matcher.features["valid"],
+                "image_paths": [str(p) for p in self.matcher.image_paths],
+            }
+            if desc.nbytes <= 512 * 1024 * 1024:
+                blob["desc"] = desc
             with (self.output_dir / "pair_table.pkl").open("wb") as f:
-                # descriptors are device-resident and not needed downstream
-                pickle.dump(
-                    {"table": self.matcher.table,
-                     "xy": self.matcher.features["xy"],
-                     "valid": self.matcher.features["valid"],
-                     "image_paths": [str(p) for p in self.matcher.image_paths]},
-                    f,
-                )
+                pickle.dump(blob, f)
             if len(self.matcher.table.accepted()):
                 # Connectivity-graph PNG (ref image_selector.py:162-218 writes
                 # image_graph.png during selector construction).
@@ -143,12 +150,17 @@ class SfMPipeline:
             if self.matcher is not None and self.matcher.table is not None:
                 table = self.matcher.table
                 xy = self.matcher.features["xy"]
+                desc = self.matcher.features["desc"]
+                feat_valid = self.matcher.features["valid"]
             else:
                 blob = pickle.loads((self.output_dir / "pair_table.pkl").read_bytes())
                 table = blob["table"]
                 xy = blob["xy"]
+                desc = blob.get("desc")
+                feat_valid = blob.get("valid")
             with stage("reconstruct", self.metrics), self._maybe_trace():
-                sfm = StructureFromMotion(table, xy, self.config, metrics=self.metrics)
+                sfm = StructureFromMotion(table, xy, self.config, metrics=self.metrics,
+                                          desc=desc, feat_valid=feat_valid)
                 self.result = sfm.run_reconstruction(self.args.num_images)
             for k in ("num_cameras", "num_points", "mean_reprojection_error"):
                 self.metrics.log(f"reconstruction/{k}", self.result.stats[k])

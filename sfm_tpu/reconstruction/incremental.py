@@ -97,6 +97,29 @@ def _triangulate_tracks(
 
 
 @jax.jit
+def _guided_match(desc_img, valid_img, pool_desc, pool_valid, pool_track, ratio):
+    """Match one image's descriptors against the model's observation pool.
+
+    desc_img: (K, D) unit-norm; pool_desc: (M, D); pool_track: (M,) track id
+    per pool entry. Lowe ratio against the best entry of a DIFFERENT track
+    (entries of the same track are near-duplicates of the best match, so the
+    plain second-best would veto every correct correspondence).
+    Returns (track (K,), dist (K,), ok (K,)).
+    """
+    sim = desc_img @ pool_desc.T                           # (K, M)
+    dist = jnp.maximum(2.0 - 2.0 * sim, 0.0)
+    dist = jnp.where(pool_valid[None, :], dist, jnp.inf)
+    dist = jnp.where(valid_img[:, None], dist, jnp.inf)
+    d_best = jnp.min(dist, axis=1)
+    j_best = jnp.argmin(dist, axis=1)
+    t_best = pool_track[j_best]
+    other = pool_track[None, :] != t_best[:, None]
+    d_second = jnp.min(jnp.where(other, dist, jnp.inf), axis=1)
+    ok = (d_best < ratio**2 * d_second) & valid_img & jnp.isfinite(d_best)
+    return t_best, d_best, ok
+
+
+@jax.jit
 def _reproj_stats(view_img, view_xy, view_valid, rvec, tvec, registered, K, points, point_valid):
     """Per-observation reprojection errors over the whole reconstruction."""
     C = rvec.shape[0]
@@ -142,10 +165,15 @@ class StructureFromMotion:
     """
 
     def __init__(self, table, xy, config: SfMConfig = SfMConfig(),
-                 metrics: Optional[Metrics] = None):
+                 metrics: Optional[Metrics] = None,
+                 desc=None, feat_valid=None):
         self.metrics = metrics if metrics is not None else Metrics()
         self.table = table
         self.xy = np.asarray(xy, np.float32)
+        # Optional per-image descriptors: enables guided (2D-3D localization)
+        # registration for images the pair graph cannot place.
+        self.desc = None if desc is None else np.asarray(desc)
+        self.feat_valid = None if feat_valid is None else np.asarray(feat_valid, bool)
         self.config = config
         self.num_images = self.xy.shape[0]
         self.K = config.camera.K()
@@ -367,6 +395,152 @@ class StructureFromMotion:
             logger.info("registered image %d (%d/%d PnP inliers)", img, n_inl, n)
         return n_registered
 
+    # ------------------------------------------------------- guided rescue
+
+    def _model_pool(self):
+        """Observation descriptors of the triangulated model: up to 2 per
+        track (more are near-duplicates), capped at pnp.guided_pool."""
+        tr = self.tracks
+        img = tr.view_img
+        ok = (
+            (img >= 0)
+            & self.view_valid
+            & self.point_valid[:, None]
+            & self.registered[np.clip(img, 0, self.num_images - 1)]
+        )
+        pick = ok & (np.cumsum(ok, axis=1) <= 2)
+        t_ids, v_ids = np.nonzero(pick)
+        cap = self.config.pnp.guided_pool
+        if len(t_ids) > cap:
+            # Tracks are sorted longest-first; an even stride keeps coverage
+            # of the whole model instead of only its longest tracks.
+            sel = np.linspace(0, len(t_ids) - 1, cap).astype(np.int64)
+            t_ids, v_ids = t_ids[sel], v_ids[sel]
+        j = img[t_ids, v_ids]
+        kp = tr.view_kp[t_ids, v_ids]
+        return self.desc[j, kp].astype(np.float32), t_ids.astype(np.int32)
+
+    def guided_register(self, img: int) -> bool:
+        """Register an image the pair graph failed: match its descriptors
+        directly against the triangulated model (2D-3D localization), then
+        PnP. Inlier matches extend the track table so BA constrains the new
+        camera. The reference simply loses such cameras (ref
+        sfm_reconstruction.py:696-698 stops on registration failure)."""
+        cfg = self.config.pnp
+        if self.desc is None or not cfg.guided or self.registered[img]:
+            return False
+        with self._stage("guided"):
+            pool_desc, pool_track = self._model_pool()
+            M = len(pool_track)
+            if M < cfg.min_inliers:
+                return False
+            cap = cfg.guided_pool
+            D = pool_desc.shape[1]
+            pd = np.zeros((cap, D), np.float32)
+            pv = np.zeros(cap, bool)
+            pt = np.full(cap, -1, np.int32)
+            m = min(M, cap)
+            pd[:m], pv[:m], pt[:m] = pool_desc[:m], True, pool_track[:m]
+            desc_img = self.desc[img].astype(np.float32)
+            valid_img = (
+                self.feat_valid[img]
+                if self.feat_valid is not None
+                else np.ones(desc_img.shape[0], bool)
+            )
+            t_best, d_best, ok = map(np.asarray, _guided_match(
+                jnp.asarray(desc_img), jnp.asarray(valid_img),
+                jnp.asarray(pd), jnp.asarray(pv), jnp.asarray(pt),
+                cfg.guided_ratio,
+            ))
+            kp_ids = np.nonzero(ok)[0]
+            if len(kp_ids) < cfg.min_inliers:
+                return False
+            # One correspondence per track: keep the best-distance keypoint.
+            order = np.argsort(d_best[kp_ids], kind="stable")
+            kp_ids = kp_ids[order]
+            tr_ids = t_best[kp_ids]
+            _, first = np.unique(tr_ids, return_index=True)
+            kp_ids, tr_ids = kp_ids[np.sort(first)], tr_ids[np.sort(first)]
+            n = len(kp_ids)
+            if n < cfg.min_inliers:
+                return False
+
+            budget = cfg.budget
+            p3 = np.zeros((budget, 3), np.float32)
+            p2 = np.zeros((budget, 2), np.float32)
+            valid = np.zeros(budget, bool)
+            mm = min(n, budget)
+            p3[:mm] = self.points[tr_ids[:mm]]
+            p2[:mm] = self.xy[img, kp_ids[:mm]]
+            valid[:mm] = True
+            out = pnp_ransac(
+                self._next_key(), p3, p2, valid, self._camera_matrix(),
+                iters=cfg.guided_iters,
+                threshold=cfg.reproj_threshold,
+                min_inliers=cfg.min_inliers,
+                refine_iters=cfg.refine_iters,
+                sample_size=cfg.sample_size,
+            )
+            n_inl = int(out["num_inliers"])
+            if not (bool(out["ok"]) and n_inl >= cfg.min_inlier_ratio * mm):
+                return False
+            inl = np.asarray(out["inliers"])[:mm]
+        self.rvec[img] = np.asarray(out["rvec"])
+        self.tvec[img] = np.asarray(out["t"])
+        self.registered[img] = True
+        self.reg_order.append(img)
+        n_ext = self._extend_tracks(img, kp_ids[:mm][inl], tr_ids[:mm][inl])
+        logger.info(
+            "guided-registered image %d (%d/%d PnP inliers, %d track obs added)",
+            img, n_inl, mm, n_ext,
+        )
+        return True
+
+    def _extend_tracks(self, img: int, kp_ids, t_ids) -> int:
+        """Append (img, kp) observations to existing tracks (capacity
+        permitting) so BA sees the new camera's measurements."""
+        V = self.tracks.max_views
+        n_add = 0
+        for kp, t in zip(kp_ids, t_ids):
+            L = int(self.tracks.length[t])
+            if L >= V:
+                continue
+            if (self.tracks.view_img[t, :L] == img).any():
+                continue
+            if self.tracks.kp_track[img, kp] >= 0:
+                continue
+            self.tracks.view_img[t, L] = img
+            self.tracks.view_kp[t, L] = kp
+            self.tracks.view_xy[t, L] = self.xy[img, kp]
+            self.tracks.length[t] = L + 1
+            self.tracks.kp_track[img, kp] = t
+            self.view_valid[t, L] = True
+            n_add += 1
+        return n_add
+
+    def _guided_sweep(self, limit: int) -> int:
+        """Try guided registration for every remaining image, repeating while
+        it makes progress (each success strengthens the model for the next)."""
+        if self.desc is None or not self.config.pnp.guided:
+            return 0
+        total = 0
+        progressed = True
+        while progressed and len(self.reg_order) < limit:
+            progressed = False
+            for img in range(self.num_images):
+                if len(self.reg_order) >= limit:
+                    break
+                if self.registered[img]:
+                    continue
+                if self.guided_register(img):
+                    self._triangulate()
+                    total += 1
+                    progressed = True
+            if progressed:
+                self.bundle_adjust()
+                self._triangulate()
+        return total
+
     # -------------------------------------------------------------------- BA
 
     def _ba_problem_arrays(self):
@@ -538,13 +712,21 @@ class StructureFromMotion:
                 self._triangulate()
             if not progressed:
                 if retried_after_ba:
-                    # Last resort: weak-gate registration for images whose
-                    # correspondence pool can never reach the standard gate.
+                    # Guided 2D-3D localization for images the pair graph
+                    # cannot place (needs descriptors; no-op without them).
                     for img, _score in candidates:
-                        if self.register_image(int(img), weak=True):
+                        if self.guided_register(int(img)):
                             self._triangulate()
                             progressed = True
                             break
+                    # Last resort: weak-gate registration for images whose
+                    # correspondence pool can never reach the standard gate.
+                    if not progressed:
+                        for img, _score in candidates:
+                            if self.register_image(int(img), weak=True):
+                                self._triangulate()
+                                progressed = True
+                                break
                     if not progressed:
                         logger.info("no candidate registered; stopping")
                         break
@@ -569,6 +751,14 @@ class StructureFromMotion:
                     Path(checkpoint_dir) / f"ckpt_{len(self.reg_order):04d}.npz"
                 )
                 last_ckpt = len(self.reg_order)
+
+        # Final rescue: images the connectivity graph never surfaced (e.g.
+        # pairless ones) get a guided 2D-3D localization pass against the
+        # finished model.
+        if len(self.reg_order) < limit and len(self.reg_order) >= 2:
+            n_guided = self._guided_sweep(limit)
+            if n_guided:
+                logger.info("guided sweep registered %d extra image(s)", n_guided)
 
         if len(self.reg_order) >= 2:
             self.bundle_adjust(final=True)

@@ -170,6 +170,46 @@ class TestIncremental:
         assert len(exp2.points) == len(exp.points)
 
 
+class TestGuidedRegistration:
+    def test_guided_rescues_pairless_image(self, scene, pair_table):
+        """Cut every verified pair of one image out of the table: without
+        descriptors the engine must lose that camera; with them, the guided
+        2D-3D localization sweep must recover it (the reference's ceiling is
+        the pair graph — ref sfm_reconstruction.py:696-698)."""
+        import dataclasses as dc
+
+        victim = 7
+        keep = ~((pair_table.pairs[:, 0] == victim) | (pair_table.pairs[:, 1] == victim))
+        cut = dc.replace(pair_table, accept=pair_table.accept & keep)
+        cfg = SfMConfig(
+            pnp=PnPConfig(ransac_iters=512, guided_iters=4096),
+            ba=BAConfig(max_iterations=10, cg_iters=30, optimize_intrinsics=False),
+            # rescue_disconnected would re-admit a sub-gate pair for the cut
+            # image from the table itself; disable it to isolate guided.
+            verify=VerifyConfig(rescue_disconnected=False),
+        )
+        cfg_blind = cfg.replace(pnp=dc.replace(cfg.pnp, guided=False))
+
+        blind = StructureFromMotion(cut, scene["xy"], cfg_blind,
+                                    desc=scene["desc"], feat_valid=scene["valid"])
+        res_blind = blind.run_reconstruction()
+        assert victim not in set(res_blind.image_ids.tolist())
+
+        guided = StructureFromMotion(cut, scene["xy"], cfg,
+                                     desc=scene["desc"], feat_valid=scene["valid"])
+        res = guided.run_reconstruction()
+        assert victim in set(res.image_ids.tolist())
+        assert res.stats["mean_reprojection_error"] < 1.0
+        # The rescued camera's pose must be right, not just accepted:
+        k = res.image_ids.tolist().index(victim)
+        k0 = 0 if res.image_ids[0] != victim else 1
+        rel_est = res.rotations[k] @ res.rotations[k0].T
+        rel_gt = scene["R"][victim] @ scene["R"][res.image_ids[k0]].T
+        dR = rel_est @ rel_gt.T
+        ang = np.degrees(np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1)))
+        assert ang < 2.0
+
+
 class TestCheckpoint:
     def test_save_load_roundtrip(self, scene, pair_table, tmp_path):
         from sfm_tpu.config import SfMConfig, PnPConfig, BAConfig
