@@ -100,6 +100,49 @@ def bench_ba(n_cams=100, n_pts=20000, obs_per_cam=2000, lm_iters=10):
     return iters / dt, float(stats["rms_px"])
 
 
+def matcher_mfu():
+    """Matcher FLOP-rate report: XLA min-pass path vs the Pallas fused top-2
+    kernel at the production shape (K=2048, D=128, 32-pair chunk), as model
+    FLOPs utilization against the v5e peak. Prints ONE JSON line."""
+    import jax
+    import jax.numpy as jnp
+    from sfm_tpu.matching.core import _match_descriptors
+
+    PEAK_F32 = 49e12  # v5e MXU, f32 accumulate
+    K, D, B = 2048, 128, 32
+    rng = np.random.default_rng(0)
+    d = rng.normal(size=(B, 2, K, D)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    d = jnp.asarray(d)
+    v = jnp.asarray(np.ones((B, K), bool))
+    # 2 matmuls per pair (forward + mutual back-check).
+    flops = 2 * (2 * K * K * D) * B
+
+    out = {}
+    for name, use_pallas in (("xla", False), ("pallas", True)):
+        fn = jax.jit(jax.vmap(
+            lambda a, b, vb: _match_descriptors(
+                a, vb, b, vb, max_matches=1024, use_pallas=use_pallas)
+        ))
+        for _ in range(2):
+            r = fn(d[:, 0], d[:, 1], v)
+            float(jnp.sum(r["distance"]))
+        times = []
+        for _ in range(3):
+            t0 = time.time()
+            r = fn(d[:, 0], d[:, 1], v)
+            float(jnp.sum(r["distance"]))
+            times.append(time.time() - t0)
+        dt = float(np.median(times))
+        out[name] = {
+            "ms_per_chunk32": round(dt * 1e3, 1),
+            "gflops": round(flops / dt / 1e9, 1),
+            "mfu_pct": round(100 * flops / dt / PEAK_F32, 1),
+        }
+    out["winner"] = "xla" if out["xla"]["ms_per_chunk32"] <= out["pallas"]["ms_per_chunk32"] else "pallas"
+    print(json.dumps({"metric": "matcher_mfu", "shape": f"K={K} D={D} B={B}", **out}))
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -124,9 +167,12 @@ def main():
 
     # Warmup / compile. NOTE: block_until_ready does NOT block over the
     # axon tunnel (measured); the only reliable sync is a scalar transfer.
-    for _ in range(2):
-        out = fn(keys[:chunk], jnp.asarray(pairs_p[:chunk]), xy_d, desc_d, valid_d)
-        float(jnp.sum(out["num_inliers"]))
+    # One full untimed sweep: the first post-compile pass still pays
+    # server-side executable finalization (measured 2x on pass 1 vs 2).
+    for c0 in range(0, P + pad, chunk):
+        out = fn(keys[c0:c0 + chunk], jnp.asarray(pairs_p[c0:c0 + chunk]),
+                 xy_d, desc_d, valid_d)
+    float(jnp.sum(out["num_inliers"]))
 
     # Timed sweep over all pairs; outputs stay on device, synced by reducing
     # every chunk to one scalar transferred inside the timed region.
@@ -134,7 +180,7 @@ def main():
     # the headline metric (round-1 captured 612 vs 718 pairs/s on one-shot
     # timing); the spread is reported so variance is visible in the record.
     times = []
-    for _rep in range(3):
+    for _rep in range(4):
         t0 = time.time()
         outs = []
         for c0 in range(0, P + pad, chunk):
@@ -145,6 +191,9 @@ def main():
         total_inliers = float(sum(jnp.sum(o["num_inliers"]) for o in outs))
         times.append(time.time() - t0)
         assert total_inliers > 0
+    # Pass 1 consistently runs ~2x pass 2+ even after an untimed full sweep
+    # (server-side executable finalization); report the steady state.
+    times = times[1:]
     dt = float(np.median(times))
     pairs_per_sec = P / dt
     spread_pct = 100.0 * (max(times) - min(times)) / dt
@@ -182,4 +231,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--matcher-mfu" in sys.argv:
+        matcher_mfu()
+    else:
+        main()

@@ -78,31 +78,34 @@ def main(n_cams=100, n_pts=5000):
                     prune_multiplier=3.0, frequency=10),
         triangulation=TriangulationConfig(cadence=2),
     )
-    t0 = time.time()
-    table = all_pairs_sweep(xy, desc, valid, cfg)
-    t_sweep = time.time() - t0
-    acc = table.accepted()
-    log("sweep: %.1fs for %d pairs (%.0f pairs/s), %d accepted" % (
-        t_sweep, table.num_pairs, table.num_pairs / t_sweep, len(acc)))
+    # Two passes: the first pays one-time program compiles (and, on the
+    # tunneled TPU, server-side compile whose cost is load-variable); the
+    # second is the steady-state number a resident service sees.
+    for rep in ("cold", "warm"):
+        t0 = time.time()
+        table = all_pairs_sweep(xy, desc, valid, cfg)
+        t_sweep = time.time() - t0
+        acc = table.accepted()
+        log("%s sweep: %.1fs for %d pairs (%.0f pairs/s), %d accepted" % (
+            rep, t_sweep, table.num_pairs, table.num_pairs / t_sweep, len(acc)))
 
-    import pickle
-    with open("/tmp/scale_table.pkl", "wb") as f:
-        pickle.dump({"table": table, "xy": xy}, f)
-    t0 = time.time()
-    sfm = StructureFromMotion(table, xy, cfg)
-    t_tracks = time.time() - t0
-    log("tracks: %.1fs (%d tracks, max len %d)" % (
-        t_tracks, sfm.tracks.num_tracks, sfm.tracks.length.max()))
-
-    t0 = time.time()
-    res = sfm.run_reconstruction()
-    t_rec = time.time() - t0
-    s = res.stats
-    log("reconstruction: %.1fs — cams=%d pts=%d err=%.3f tracklen=%.2f" % (
-        t_rec, s["num_cameras"], s["num_points"],
-        s["mean_reprojection_error"], s["mean_track_length"]))
-    log("TOTAL (sweep+tracks+recon): %.1fs  [north star: <60s, <1px]" % (
-        t_sweep + t_tracks + t_rec))
+        t0 = time.time()
+        sfm = StructureFromMotion(table, xy, cfg)
+        t_tracks = time.time() - t0
+        t0 = time.time()
+        res = sfm.run_reconstruction()
+        t_rec = time.time() - t0
+        s = res.stats
+        log("%s reconstruction: %.1fs (tracks %.1fs) — cams=%d pts=%d err=%.3f tracklen=%.2f" % (
+            rep, t_rec, t_tracks, s["num_cameras"], s["num_points"],
+            s["mean_reprojection_error"], s["mean_track_length"]))
+        log("%s stage_s: %s" % (rep, {k: round(v, 1) for k, v in s["stage_s"].items()}))
+        log("%s TOTAL (sweep+tracks+recon): %.1fs  [north star: <60s, <1px]" % (
+            rep, t_sweep + t_tracks + t_rec))
+        if rep == "cold":
+            import pickle
+            with open("/tmp/scale_table.pkl", "wb") as f:
+                pickle.dump({"table": table, "xy": xy}, f)
 
 
 def sweep_only(n_cams, n_pts):

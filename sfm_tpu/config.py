@@ -45,7 +45,24 @@ class MatchConfig:
     ratio_threshold: float = 0.75      # Lowe ratio (find_matches.py:152)
     max_matches: int = 1024            # fixed per-pair budget (padded + masked)
     mutual_check: bool = True          # cross-check (reference used crossCheck=False)
-    tile_size: int = 512               # MXU tile for the distance matmul
+    use_pallas: bool = False           # fused Pallas top-2 kernel instead of
+                                       # the XLA matmul + min-pass path.
+                                       # Measured (v5e, K=2048, D=128, chunk
+                                       # of 32 pairs): XLA 22.6 ms/chunk vs
+                                       # Pallas 221 ms — the XLA path wins ~10x
+                                       # at production shapes because the
+                                       # (K,K) f32 distance tile still fits
+                                       # HBM bandwidth while the kernel's
+                                       # per-tile accumulator merges serialize.
+                                       # The kernel remains for K >= 8k where
+                                       # the distance matrix cannot
+                                       # materialize. `python bench.py
+                                       # --matcher-mfu` reports both paths.
+    tile_size: int = 128               # Pallas kernel column-tile width
+                                       # (tile_n); K must divide by it. 128
+                                       # is the validated tile — wider tiles
+                                       # overflow scoped VMEM once the sweep
+                                       # vmaps the kernel over a pair chunk
 
 
 @dataclasses.dataclass(frozen=True)

