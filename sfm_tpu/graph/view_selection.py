@@ -94,8 +94,15 @@ class SfMGraphSelector:
         return np.array([len(a) for a in self.adj]) / (n - 1)
 
     def betweenness_centrality(self) -> np.ndarray:
-        """Brandes' algorithm, unweighted, normalized like networkx."""
+        """Brandes' algorithm, unweighted, normalized like networkx.
+
+        Dispatches to the all-sources vectorized form above ~200 nodes: the
+        per-source Python loop costs ~1 s at 100 nodes and minutes at 1000
+        (round-1 weakness); the vectorized form runs all sources as (N, N)
+        matrix ops, one per BFS level."""
         n = len(self.nodes)
+        if n > 200:
+            return self._betweenness_vectorized()
         bc = np.zeros(n)
         for s in range(n):
             stack = []
@@ -124,6 +131,48 @@ class SfMGraphSelector:
                     bc[w] += delta[w]
         if n > 2:
             bc /= (n - 1) * (n - 2)  # undirected pairs counted twice -> *2/2
+        return bc
+
+    def _betweenness_vectorized(self) -> np.ndarray:
+        """All-sources Brandes as dense matrix ops.
+
+        Forward: multi-source BFS where level-l frontiers and path counts
+        sigma propagate through one (N, N) @ (N, N) product per level.
+        Backward: dependencies delta accumulate level-by-level through the
+        same adjacency product. O(diameter) matmuls total.
+        """
+        n = len(self.nodes)
+        A = np.zeros((n, n), np.float64)
+        for v in range(n):
+            A[v, self.adj[v]] = 1.0
+        dist = np.full((n, n), -1, np.int32)      # dist[s, v]
+        np.fill_diagonal(dist, 0)
+        sigma = np.eye(n)                          # sigma[s, v] path counts
+        frontier = np.eye(n)
+        level = 0
+        levels = [frontier.astype(bool)]
+        while True:
+            level += 1
+            # Paths arriving at unvisited nodes through the current frontier.
+            arrive = (sigma * frontier) @ A        # (S, N)
+            new = (arrive > 0) & (dist < 0)
+            if not new.any():
+                break
+            dist[new] = level
+            sigma = np.where(new, arrive, sigma)
+            frontier = new.astype(np.float64)
+            levels.append(new)
+        delta = np.zeros((n, n))
+        for lev in range(len(levels) - 1, 0, -1):
+            w_mask = levels[lev]                   # nodes at this level
+            # contribution each w at this level sends to its predecessors:
+            coef = np.where(w_mask, (1.0 + delta) / np.maximum(sigma, 1.0), 0.0)
+            pred_mask = levels[lev - 1]
+            delta = delta + np.where(pred_mask, sigma * (coef @ A.T), 0.0)
+        # bc[w] = sum over sources s != w of delta[s, w].
+        bc = delta.sum(axis=0) - np.diag(delta)
+        if n > 2:
+            bc /= (n - 1) * (n - 2)
         return bc
 
     def compute_node_importance(self) -> Dict[int, float]:

@@ -1,0 +1,253 @@
+"""Ring-sharded all-pairs sweep: features SHARDED over the mesh, descriptor
+blocks exchanged over ICI (SURVEY.md section 5, "long-context" row).
+
+`parallel.sweep.sharded_all_pairs_sweep` shards the *pair* axis but
+replicates all (N, K, D) features to every device — fine at 36 images, a
+memory wall at the 1000-image scale config. Here each device owns N/D
+images; at ring step s it matches its own block against the block that has
+travelled s hops (`jax.lax.ppermute`), so peak feature memory per device is
+2·N/D·K·(D+3) floats regardless of mesh size, and the exchange rides ICI
+neighbor links (the all-pairs analogue of ring attention).
+
+Two phases:
+  1. ring summary sweep (this module's core) — every candidate pair's
+     verification summary (accept, counts, errors, F), no per-match arrays;
+  2. artifact extraction for ACCEPTED pairs only — per-chunk host gathers of
+     just the two images' features, so nothing is ever fully replicated.
+Both phases derive each pair's RANSAC key as fold_in(fold_in(base, i), j),
+so phase 2 reproduces phase 1's decisions exactly.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+try:  # shard_map moved to jax.shard_map in newer releases
+    from jax import shard_map as _shard_map_mod
+    shard_map = _shard_map_mod.shard_map if hasattr(_shard_map_mod, "shard_map") else _shard_map_mod
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+from sfm_tpu.config import SfMConfig
+from sfm_tpu.matching.sweep import PairTable, candidate_pairs
+from sfm_tpu.matching.verify import match_and_verify
+
+_SUMMARY_KEYS = ("accept", "num_matches", "num_inliers", "inlier_ratio",
+                 "reprojection_error", "well_distributed", "F")
+
+
+def _pair_kwargs(config: SfMConfig) -> dict:
+    mc, vc = config.matching, config.verify
+    return dict(
+        ratio_threshold=mc.ratio_threshold,
+        max_matches=mc.max_matches,
+        mutual_check=mc.mutual_check,
+        ransac_iters=vc.ransac_iters,
+        ransac_threshold=vc.ransac_threshold,
+        min_inliers=vc.min_inliers,
+        min_inlier_ratio=vc.min_inlier_ratio,
+        max_reproj_error=vc.max_reproj_error,
+        min_spread=vc.min_spread,
+        use_pallas=mc.use_pallas,
+        tile_size=mc.tile_size,
+    )
+
+
+def _pair_key(base_key, gi, gj):
+    return jax.random.fold_in(jax.random.fold_in(base_key, jnp.maximum(gi, 0)),
+                              jnp.maximum(gj, 0))
+
+
+def _pair_row_index(pairs_i, pairs_j, n):
+    """(i, j) i<j -> row in candidate_pairs(n) order (i-major)."""
+    i = pairs_i.astype(np.int64)
+    j = pairs_j.astype(np.int64)
+    return i * n - i * (i + 1) // 2 + (j - i - 1)
+
+
+def ring_all_pairs_sweep(
+    xy,
+    desc,
+    valid,
+    mesh=None,
+    config: SfMConfig = SfMConfig(),
+    key: Optional[jax.Array] = None,
+    slots_per_chunk: int = 8,
+    extract_artifacts: bool = True,
+) -> PairTable:
+    """All-pairs sweep with features sharded over ``mesh`` and a ring
+    exchange of descriptor blocks. Returns a PairTable; per-match arrays are
+    filled for accepted pairs (via :func:`extract_pair_artifacts`) and zero
+    elsewhere — downstream consumers (tracks, selector, engine) only read
+    match arrays of accepted pairs.
+    """
+    if mesh is None:
+        from sfm_tpu.parallel.mesh import mesh_from_config
+
+        mesh = mesh_from_config(config.sharding)
+    axis = mesh.axis_names[0]
+    D = mesh.devices.size
+    if key is None:
+        key = jax.random.key(config.seed)
+
+    xy = np.asarray(xy, np.float32)
+    desc = np.asarray(desc, np.float32)
+    valid = np.asarray(valid, bool)
+    N, K = xy.shape[:2]
+    Nl = -(-N // D)
+    padN = D * Nl - N
+    if padN:
+        zpad = lambda a: np.concatenate(
+            [a, np.zeros((padN,) + a.shape[1:], a.dtype)])
+        xy_p, desc_p, valid_p = zpad(xy), zpad(desc), zpad(valid)
+    else:
+        xy_p, desc_p, valid_p = xy, desc, valid
+    ids = np.arange(D * Nl, dtype=np.int32)
+    ids[N:] = -1
+
+    # Slot grid per (my block x visiting block), chunked for the inner scan.
+    S = slots_per_chunk
+    nslots = Nl * Nl
+    padS = (-nslots) % S
+    slot_a = np.pad(np.repeat(np.arange(Nl, dtype=np.int32), Nl), (0, padS),
+                    constant_values=-1)
+    slot_b = np.pad(np.tile(np.arange(Nl, dtype=np.int32), Nl), (0, padS),
+                    constant_values=-1)
+    slots = np.stack([slot_a, slot_b], -1).reshape(-1, S, 2)  # (nchunks, S, 2)
+
+    kwargs = _pair_kwargs(config)
+
+    def summary_fn(k, d1, x1, v1, d2, x2, v2):
+        out = match_and_verify(k, d1, x1, v1, d2, x2, v2, **kwargs)
+        return {f: out[f] for f in _SUMMARY_KEYS}
+
+    def shard_fn(base_key, ids_b, xy_b, desc_b, valid_b):
+        slots_d = jnp.asarray(slots)
+
+        def step(vis, _):
+            vids, vxy, vdesc, vvalid = vis
+
+            def chunk_fn(sl):
+                pad_slot = (sl[:, 0] < 0) | (sl[:, 1] < 0)
+                a = jnp.maximum(sl[:, 0], 0)
+                b = jnp.maximum(sl[:, 1], 0)
+                gia, gjb = ids_b[a], vids[b]
+                keys = jax.vmap(lambda g1, g2: _pair_key(base_key, g1, g2))(gia, gjb)
+                out = jax.vmap(summary_fn)(
+                    keys, desc_b[a], xy_b[a], valid_b[a],
+                    vdesc[b], vxy[b], vvalid[b],
+                )
+                active = (gia >= 0) & (gjb >= 0) & (gia < gjb) & ~pad_slot
+                out["accept"] = out["accept"] & active
+                out["gi"], out["gj"], out["active"] = gia, gjb, active
+                return out
+
+            outs = jax.lax.map(chunk_fn, slots_d)      # (nchunks, S, ...)
+            outs = jax.tree.map(
+                lambda x: x.reshape((-1,) + x.shape[2:]), outs)
+            # Pass the visiting block one hop around the ring for next step.
+            nxt = jax.lax.ppermute(
+                vis, axis, [(k, (k - 1) % D) for k in range(D)])
+            return nxt, outs
+
+        my = (ids_b, xy_b, desc_b, valid_b)
+        _, ys = jax.lax.scan(step, my, None, length=D)   # (D, nslots_p, ...)
+        return jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]), ys)
+
+    fn = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    res = jax.tree.map(np.asarray, fn(
+        key, jnp.asarray(ids), jnp.asarray(xy_p), jnp.asarray(desc_p),
+        jnp.asarray(valid_p)))
+
+    act = res["active"]
+    n_active = int(act.sum())
+    pairs = candidate_pairs(N)
+    Pn = pairs.shape[0]
+    if n_active != Pn:  # every unordered pair must appear exactly once
+        raise AssertionError(
+            f"ring sweep covered {n_active} pairs, expected {Pn}")
+    rows = _pair_row_index(res["gi"][act], res["gj"][act], N)
+
+    def scatter(field, shape, dtype):
+        outv = np.zeros(shape, dtype)
+        outv[rows] = res[field][act]
+        return outv
+
+    M = config.matching.max_matches
+    table = PairTable(
+        pairs=pairs,
+        accept=scatter("accept", (Pn,), bool),
+        num_matches=scatter("num_matches", (Pn,), np.int32),
+        num_inliers=scatter("num_inliers", (Pn,), np.int32),
+        inlier_ratio=scatter("inlier_ratio", (Pn,), np.float32),
+        reprojection_error=scatter("reprojection_error", (Pn,), np.float32),
+        well_distributed=scatter("well_distributed", (Pn,), bool),
+        F=scatter("F", (Pn, 3, 3), np.float32),
+        xy1=np.zeros((Pn, M, 2), np.float32),
+        xy2=np.zeros((Pn, M, 2), np.float32),
+        idx1=np.zeros((Pn, M), np.int32),
+        idx2=np.zeros((Pn, M), np.int32),
+        match_valid=np.zeros((Pn, M), bool),
+        inliers=np.zeros((Pn, M), bool),
+    )
+    if extract_artifacts and table.accept.any():
+        extract_pair_artifacts(table, xy, desc, valid, key, config)
+    return table
+
+
+def extract_pair_artifacts(
+    table: PairTable, xy, desc, valid, key, config: SfMConfig,
+    chunk_size: int = 32, rows: Optional[np.ndarray] = None,
+):
+    """Fill ``table``'s per-match arrays for the given rows (default: the
+    accepted pairs) by re-running the pair program with the same fold_in
+    keys. Features are gathered host-side per chunk — at no point does the
+    full (N, K, D) stack need to be device-resident, so this composes with
+    the ring sweep's sharded memory model. Mutates ``table`` in place."""
+    if rows is None:
+        rows = table.accepted()
+    rows = np.asarray(rows)
+    if len(rows) == 0:
+        return table
+    kwargs = _pair_kwargs(config)
+    xy = np.asarray(xy, np.float32)
+    desc = np.asarray(desc, np.float32)
+    valid = np.asarray(valid, bool)
+
+    @jax.jit
+    def chunk_fn(base_key, gi, gj, d1, x1, v1, d2, x2, v2):
+        keys = jax.vmap(lambda a, b: _pair_key(base_key, a, b))(gi, gj)
+        out = jax.vmap(
+            lambda k, a1, b1, c1, a2, b2, c2: match_and_verify(
+                k, a1, b1, c1, a2, b2, c2, **kwargs)
+        )(keys, d1, x1, v1, d2, x2, v2)
+        return out
+
+    for c0 in range(0, len(rows), chunk_size):
+        r = rows[c0:c0 + chunk_size]
+        i, j = table.pairs[r, 0], table.pairs[r, 1]
+        out = chunk_fn(
+            key, jnp.asarray(i), jnp.asarray(j),
+            jnp.asarray(desc[i]), jnp.asarray(xy[i]), jnp.asarray(valid[i]),
+            jnp.asarray(desc[j]), jnp.asarray(xy[j]), jnp.asarray(valid[j]),
+        )
+        out = jax.tree.map(np.asarray, out)
+        table.xy1[r] = out["xy1"]
+        table.xy2[r] = out["xy2"]
+        table.idx1[r] = out["idx1"]
+        table.idx2[r] = out["idx2"]
+        table.match_valid[r] = out["match_valid"]
+        table.inliers[r] = out["inliers"]
+        # Phase-1 parity check: same key -> same consensus.
+        if not np.array_equal(out["accept"], table.accept[r]):
+            raise AssertionError("artifact extraction disagreed with ring sweep")
+    return table

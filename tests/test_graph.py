@@ -46,6 +46,29 @@ class TestCentrality:
         for k, node in enumerate(g.nodes):
             assert abs(ours[k] - ref[node]) < 1e-9
 
+    def test_vectorized_betweenness_matches_networkx(self):
+        """The all-sources matrix form (used above 200 nodes) must agree
+        with networkx to machine precision."""
+        nx = pytest.importorskip("networkx")
+        rng = np.random.default_rng(7)
+        recs, G = [], nx.Graph()
+        for _ in range(160):
+            i, j = rng.integers(0, 40, 2)
+            if i == j:
+                continue
+            recs.append(
+                {"image1": int(i), "image2": int(j), "num_matches": 30,
+                 "num_inliers": 20, "inlier_ratio": 0.7, "reprojection_error": 1.0}
+            )
+            G.add_edge(int(i), int(j))
+        g = SfMGraphSelector(recs)
+        vec = g._betweenness_vectorized()
+        loop = g.betweenness_centrality()  # n<200 -> Brandes loop
+        ref = nx.betweenness_centrality(G)
+        for k, node in enumerate(g.nodes):
+            assert abs(vec[k] - ref[node]) < 1e-12
+            assert abs(loop[k] - vec[k]) < 1e-12
+
     def test_importance_highest_in_middle(self):
         g = SfMGraphSelector(line_graph_records(7))
         imp = g.compute_node_importance()

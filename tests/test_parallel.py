@@ -56,6 +56,56 @@ class TestShardedSweep:
         )
 
 
+class TestRingSweep:
+    def test_matches_single_device(self, rng, mesh):
+        """Features sharded over the mesh + ring descriptor exchange must
+        reproduce the flat sweep: identical accepts/counts and identical
+        per-match artifacts for accepted pairs (round-1 gap: the sharded
+        sweep replicated all features to every device)."""
+        from tests.test_reconstruction import make_multiview
+        from sfm_tpu.parallel.ring import ring_all_pairs_sweep
+
+        scene = make_multiview(rng, n_cams=12, n_pts=250, K_budget=128, D=32,
+                               noise_px=0.2)
+        cfg = SfMConfig(
+            matching=MatchConfig(max_matches=128),
+            verify=VerifyConfig(ransac_iters=256),
+        )
+        ref = all_pairs_sweep(
+            scene["xy"], scene["desc"], scene["valid"], cfg, chunk_size=8
+        )
+        ring = ring_all_pairs_sweep(
+            scene["xy"], scene["desc"], scene["valid"], mesh, cfg
+        )
+        np.testing.assert_array_equal(ref.accept, ring.accept)
+        np.testing.assert_array_equal(ref.num_matches, ring.num_matches)
+        np.testing.assert_array_equal(ref.num_inliers, ring.num_inliers)
+        acc = ref.accepted()
+        np.testing.assert_array_equal(ref.idx1[acc], ring.idx1[acc])
+        np.testing.assert_array_equal(ref.idx2[acc], ring.idx2[acc])
+        np.testing.assert_array_equal(ref.inliers[acc], ring.inliers[acc])
+        np.testing.assert_allclose(ref.xy1[acc], ring.xy1[acc], atol=1e-4)
+
+    def test_tracks_build_from_ring_table(self, rng, mesh):
+        """Downstream consumers only touch accepted rows — the ring table
+        (zeroed artifacts for rejected pairs) must feed build_tracks."""
+        from tests.test_reconstruction import make_multiview
+        from sfm_tpu.parallel.ring import ring_all_pairs_sweep
+        from sfm_tpu.reconstruction import build_tracks
+
+        scene = make_multiview(rng, n_cams=8, n_pts=150, K_budget=128, D=32)
+        cfg = SfMConfig(
+            matching=MatchConfig(max_matches=128),
+            verify=VerifyConfig(ransac_iters=256),
+        )
+        table = ring_all_pairs_sweep(
+            scene["xy"], scene["desc"], scene["valid"], mesh, cfg
+        )
+        tracks = build_tracks(table, scene["xy"], 8)
+        assert tracks.num_tracks > 50
+        assert tracks.length.max() >= 3
+
+
 class TestShardedBA:
     def test_matches_single_device(self, rng, mesh):
         from tests.test_ba import make_scene, problem_from_scene, mean_reproj_error
