@@ -27,6 +27,21 @@ def log(m):
     print("[%7.1fs] %s" % (time.time() - T0, m), flush=True)
 
 
+def make_scene_cached(rng, n_cams, n_pts, **kw):
+    """Disk-cached make_scene: generation is a serial Python loop that costs
+    ~1 s/camera — not what this harness measures."""
+    import hashlib
+
+    tag = hashlib.md5(repr((n_cams, n_pts, sorted(kw.items()))).encode()).hexdigest()[:10]
+    cache = Path("/tmp/scale_scene_%s.npz" % tag)
+    if cache.exists():
+        z = np.load(cache)
+        return z["xy"], z["desc"], z["valid"]
+    xy, desc, valid = make_scene(rng, n_cams, n_pts, **kw)
+    np.savez(cache, xy=xy, desc=desc, valid=valid)
+    return xy, desc, valid
+
+
 def make_scene(rng, n_cams=100, n_pts=5000, K_budget=1024, D=128, noise_px=0.4):
     from scipy.spatial.transform import Rotation
 
@@ -68,7 +83,7 @@ def make_scene(rng, n_cams=100, n_pts=5000, K_budget=1024, D=128, noise_px=0.4):
 
 def main(n_cams=100, n_pts=5000):
     rng = np.random.default_rng(0)
-    xy, desc, valid = make_scene(rng, n_cams, n_pts)
+    xy, desc, valid = make_scene_cached(rng, n_cams, n_pts)
     log("scene: %d cams, %d pts, kps/cam mean %.0f" % (n_cams, n_pts, valid.sum(1).mean()))
 
     cfg = SfMConfig(
@@ -111,7 +126,7 @@ def main(n_cams=100, n_pts=5000):
 def sweep_only(n_cams, n_pts):
     """Matching-scale probe (config #5 direction): sweep throughput at N."""
     rng = np.random.default_rng(0)
-    xy, desc, valid = make_scene(rng, n_cams, n_pts)
+    xy, desc, valid = make_scene_cached(rng, n_cams, n_pts)
     log("scene: %d cams (%d candidate pairs)" % (n_cams, n_cams * (n_cams - 1) // 2))
     cfg = SfMConfig()
     t0 = time.time()
@@ -121,10 +136,33 @@ def sweep_only(n_cams, n_pts):
         dt, table.num_pairs, table.num_pairs / dt, len(table.accepted())))
 
 
+def ring_sweep(n_cams, n_pts):
+    """Ring-sharded sweep probe: features sharded (mesh of all local
+    devices; 1 on a single chip), per-pair cost should stay flat with N."""
+    from sfm_tpu.parallel import make_mesh, ring_all_pairs_sweep
+
+    rng = np.random.default_rng(0)
+    xy, desc, valid = make_scene_cached(rng, n_cams, n_pts)
+    mesh = make_mesh()
+    log("scene: %d cams (%d candidate pairs), mesh %d device(s)" % (
+        n_cams, n_cams * (n_cams - 1) // 2, mesh.devices.size))
+    cfg = SfMConfig()
+    for rep in ("cold", "warm"):
+        t0 = time.time()
+        table = ring_all_pairs_sweep(xy, desc, valid, mesh, cfg,
+                                     extract_artifacts=(rep == "warm"))
+        dt = time.time() - t0
+        log("%s ring sweep: %.1fs for %d pairs (%.0f pairs/s, %.2f ms/pair), %d accepted" % (
+            rep, dt, table.num_pairs, table.num_pairs / dt,
+            1e3 * dt / table.num_pairs, len(table.accepted())))
+
+
 if __name__ == "__main__":
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 100
     p = int(sys.argv[2]) if len(sys.argv) > 2 else 5000
     if len(sys.argv) > 3 and sys.argv[3] == "sweep":
         sweep_only(n, p)
+    elif len(sys.argv) > 3 and sys.argv[3] == "ring":
+        ring_sweep(n, p)
     else:
         main(n, p)

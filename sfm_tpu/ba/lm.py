@@ -47,7 +47,6 @@ def _intr_reg(intr, intr_ref, weight):
     return r, H, g
 
 
-@partial(jax.jit, static_argnames=("config", "optimize_intrinsics"))
 def run_ba(
     problem: BAProblem,
     config: BAConfig = BAConfig(),
@@ -59,7 +58,25 @@ def run_ba(
     intr_ref: regularization anchor (fx0, _, cx0, cy0); defaults to the
     problem's initial intrinsics (ref anchors fx to init and c to the image
     center it hardcodes — sfm_reconstruction.py:489-501).
+
+    With ``config.f64_normal_equations`` the normal-equation island runs in
+    float64 (x64 enabled around trace + execution; everything else stays
+    f32).
     """
+    if config.f64_normal_equations:
+        with jax.enable_x64(True):
+            out, stats = _run_ba_jit(problem, config, intr_ref, optimize_intrinsics)
+            return out, {k: jax.device_get(v) for k, v in stats.items()}
+    return _run_ba_jit(problem, config, intr_ref, optimize_intrinsics)
+
+
+@partial(jax.jit, static_argnames=("config", "optimize_intrinsics"))
+def _run_ba_jit(
+    problem: BAProblem,
+    config: BAConfig = BAConfig(),
+    intr_ref: jnp.ndarray = None,
+    optimize_intrinsics: bool = True,
+) -> Tuple[BAProblem, dict]:
     if intr_ref is None:
         intr_ref = problem.intr
     C = problem.num_cameras
@@ -94,6 +111,12 @@ def run_ba(
             J_k = J_k * 0.0
             Hreg = jnp.eye(4, dtype=jnp.float32)
             greg = jnp.zeros(4, jnp.float32)
+        if config.f64_normal_equations:
+            # f64 island: the reductions J^T J / J^T r square the condition
+            # number — everything from here to the solved step runs f64.
+            f64 = lambda x: x.astype(jnp.float64)
+            r, J_c, J_k, J_p, w = map(f64, (r, J_c, J_k, J_p, w))
+            Hreg, greg = f64(Hreg), f64(greg)
         op, rhs_c, rhs_k, g_p = build_operator(
             J_c, J_k, J_p, r, w,
             problem.obs_cam, problem.obs_point, obs_valid,
@@ -107,7 +130,8 @@ def run_ba(
         else:
             xc, xk = pcg_solve(op, rhs_c, rhs_k, config.cg_iters, config.cg_tol)
         dp = back_substitute(op, g_p, xc, xk)
-        return xc, xk, dp
+        f32 = lambda x: x.astype(jnp.float32)
+        return f32(xc), f32(xk), f32(dp)
 
     init_cost = total_cost(problem.rvec, problem.tvec, problem.intr, problem.points)
 

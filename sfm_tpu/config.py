@@ -159,6 +159,17 @@ class BAConfig:
     intrinsics_reg_weight: float = 0.1 # ref regularization weight (:498)
     frequency: int = 7                 # run BA every k registrations (ref :19)
     ftol: float = 1e-4                 # relative cost decrease stop (ref :512)
+    f64_normal_equations: bool = False # build/solve the (Schur) normal
+                                       # equations in float64 (SURVEY.md
+                                       # section 7 hard-part #1: f32 normal
+                                       # equations square the Jacobian's
+                                       # condition number and stall LM on
+                                       # large ill-conditioned scenes).
+                                       # Residuals/Jacobians stay f32; only
+                                       # the reduction + solve island is
+                                       # f64. Native on CPU hosts; TPU
+                                       # emulates f64 slowly - use for
+                                       # verification or CPU-side BA
     prune_multiplier: float = 3.0      # post-BA obs pruning at mult * tri gate
                                        # (0 = off; the reference never prunes)
 

@@ -171,47 +171,70 @@ def all_pairs_sweep(
 
     chunk_fn = jax.jit(_sweep_chunk_fn(config))
 
-    def slim(out):
-        """Shrink the per-chunk download: coordinates are derivable from
-        (xy, idx) on host, and keypoint ids fit in int16 — device->host
-        bandwidth is the sweep's second cost after compute."""
-        out = {k: v for k, v in out.items() if k not in ("xy1", "xy2")}
-        if xy.shape[1] < 32768:  # keypoint ids fit in int16
-            out["idx1"] = out["idx1"].astype(jnp.int16)
-            out["idx2"] = out["idx2"].astype(jnp.int16)
-        return out
-
-    # Dispatch every chunk first (device queue), then concatenate per field
-    # ON DEVICE and download once in ~1 MB slices: the tunnel's device->host
-    # path is latency-bound (~90 ms/transfer), so hundreds of small per-chunk
-    # downloads would dominate the sweep wall-clock.
+    # Dispatch every chunk first (device queue), then download in two phases.
+    # The tunnel's device->host path runs ~4 MB/s in <=1 MB slices, so bytes
+    # transferred — not compute — dominate large sweeps; see the keep-row
+    # selection below.
     from sfm_tpu.utils.transfer import device_get_chunked
 
+    int16_ok = xy.shape[1] < 32768  # keypoint ids fit in int16
+    SUMMARY = ("accept", "num_matches", "num_inliers", "inlier_ratio",
+               "reprojection_error", "well_distributed", "F")
     pending = []
     for c0 in range(0, P + pad, chunk_size):
         chunk = jnp.asarray(pairs_padded[c0 : c0 + chunk_size])
-        pending.append(
-            slim(chunk_fn(keys[c0 : c0 + chunk_size], chunk, xy, desc, valid))
-        )
+        out = chunk_fn(keys[c0 : c0 + chunk_size], chunk, xy, desc, valid)
+        out = {k: v for k, v in out.items() if k not in ("xy1", "xy2")}
+        if int16_ok:
+            out["idx1"] = out["idx1"].astype(jnp.int16)
+            out["idx2"] = out["idx2"].astype(jnp.int16)
+        pending.append(out)
     merged_dev = jax.tree.map(lambda *xs: jnp.concatenate(xs)[:P], *pending)
-    merged = device_get_chunked(merged_dev)
+
+    # Phase 1: per-pair summaries for ALL pairs (small).
+    summary = device_get_chunked({f: merged_dev[f] for f in SUMMARY})
+
+    # Phase 2: per-match arrays only for rows any consumer can read — the
+    # accepted pairs (tracks, selector, artifacts) plus rescue-eligible
+    # rejected pairs (rescue_disconnected re-admits rows with >= 8 inliers).
+    # Everything else downloads as zeros for free. Bools travel bit-packed.
+    keep = np.nonzero(summary["accept"] | (summary["num_inliers"] >= 8))[0]
+    M = merged_dev["match_valid"].shape[1]
+    idx_dtype = np.int16 if int16_ok else np.int32
+    idx1 = np.zeros((P, M), idx_dtype)
+    idx2 = np.zeros((P, M), idx_dtype)
+    match_valid = np.zeros((P, M), bool)
+    inliers = np.zeros((P, M), bool)
+    if len(keep):
+        rows = jnp.asarray(keep)
+        picked = device_get_chunked({
+            "idx1": merged_dev["idx1"][rows],
+            "idx2": merged_dev["idx2"][rows],
+            "match_valid": jnp.packbits(merged_dev["match_valid"][rows], axis=-1),
+            "inliers": jnp.packbits(merged_dev["inliers"][rows], axis=-1),
+        })
+        idx1[keep] = picked["idx1"]
+        idx2[keep] = picked["idx2"]
+        match_valid[keep] = np.unpackbits(picked["match_valid"], axis=-1, count=M)
+        inliers[keep] = np.unpackbits(picked["inliers"], axis=-1, count=M)
+
     xy_h = np.asarray(xy)
-    mv = merged["match_valid"][..., None]
-    xy1 = xy_h[pairs[:, 0][:, None], merged["idx1"]] * mv
-    xy2 = xy_h[pairs[:, 1][:, None], merged["idx2"]] * mv
+    mv = match_valid[..., None]
+    xy1 = xy_h[pairs[:, 0][:, None], idx1.astype(np.int64)] * mv
+    xy2 = xy_h[pairs[:, 1][:, None], idx2.astype(np.int64)] * mv
     return PairTable(
         pairs=pairs,
-        accept=merged["accept"],
-        num_matches=merged["num_matches"],
-        num_inliers=merged["num_inliers"],
-        inlier_ratio=merged["inlier_ratio"],
-        reprojection_error=merged["reprojection_error"],
-        well_distributed=merged["well_distributed"],
-        F=merged["F"],
+        accept=summary["accept"],
+        num_matches=summary["num_matches"],
+        num_inliers=summary["num_inliers"],
+        inlier_ratio=summary["inlier_ratio"],
+        reprojection_error=summary["reprojection_error"],
+        well_distributed=summary["well_distributed"],
+        F=summary["F"],
         xy1=xy1.astype(np.float32),
         xy2=xy2.astype(np.float32),
-        idx1=merged["idx1"].astype(np.int32),
-        idx2=merged["idx2"].astype(np.int32),
-        match_valid=merged["match_valid"],
-        inliers=merged["inliers"],
+        idx1=idx1.astype(np.int32),
+        idx2=idx2.astype(np.int32),
+        match_valid=match_valid,
+        inliers=inliers,
     )

@@ -234,3 +234,60 @@ class TestBlockedBA:
         np.testing.assert_allclose(
             np.asarray(o1.points), np.asarray(o2.points), atol=1e-3
         )
+
+
+class TestF64NormalEquations:
+    """SURVEY.md section 7 hard-part #1: f32 normal equations square the
+    Jacobian's condition number; on high-dynamic-range scenes LM stalls at an
+    f32 rounding floor that the f64 island pushes through."""
+
+    def _ill_conditioned_problem(self, n_cams=1000, n_pts=6000, obs_per_cam=40):
+        """Uncentered far-away cloud + 100k-px focal + noiseless observations:
+        the exact solution has cost ~0, so the convergence floor IS the
+        arithmetic. (Measured at n_cams=100: f32 floors at ~2.4x the f64
+        cost.)"""
+        import jax.numpy as jnp
+        from sfm_tpu.ba.problem import build_problem
+        from sfm_tpu.ba.residuals import residuals_and_jacobians
+
+        rng = np.random.default_rng(0)
+        offset, depth, f = 20000.0, 8000.0, 100000.0
+        pts = (rng.uniform(-1, 1, (n_pts, 3)) * np.array([20.0, 20.0, 5.0])
+               + np.array([offset, offset, depth])).astype(np.float32)
+        rvec = 0.001 * rng.normal(size=(n_cams, 3)).astype(np.float32)
+        tvec = (0.5 * rng.normal(size=(n_cams, 3))).astype(np.float32)
+        intr = np.array([f, f, 2000.0, 1500.0], np.float32)
+        obs_cam = np.repeat(np.arange(n_cams, dtype=np.int32), obs_per_cam)
+        obs_point = rng.integers(0, n_pts, n_cams * obs_per_cam).astype(np.int32)
+        r0, *_ = residuals_and_jacobians(
+            (jnp.asarray(rvec), jnp.asarray(tvec), jnp.asarray(intr),
+             jnp.asarray(pts), jnp.asarray(obs_cam), jnp.asarray(obs_point),
+             jnp.zeros((len(obs_cam), 2), jnp.float32)))
+        obs_xy = np.asarray(r0)  # exact: noiseless
+        cam_fixed = np.zeros(n_cams, bool)
+        cam_fixed[0] = True
+        return build_problem(
+            rvec=rvec + 0.0005 * rng.normal(size=rvec.shape).astype(np.float32),
+            tvec=tvec + 0.02 * rng.normal(size=tvec.shape).astype(np.float32),
+            points=pts + 0.05 * rng.normal(size=pts.shape).astype(np.float32),
+            cam_valid=np.ones(n_cams, bool), intr=intr,
+            point_valid=np.ones(n_pts, bool),
+            obs_cam=obs_cam, obs_point=obs_point, obs_xy=obs_xy,
+            obs_valid=np.ones(len(obs_cam), bool), cam_fixed=cam_fixed,
+        )
+
+    def test_f64_island_converges_past_f32_floor(self):
+        from sfm_tpu.config import BAConfig
+
+        prob = self._ill_conditioned_problem()
+        base = dict(max_iterations=12, cg_iters=40, cg_tol=1e-10, ftol=0.0,
+                    use_dense_schur_below=0)
+        _, s32 = run_ba(prob, BAConfig(f64_normal_equations=False, **base),
+                        optimize_intrinsics=False)
+        _, s64 = run_ba(prob, BAConfig(f64_normal_equations=True, **base),
+                        optimize_intrinsics=False)
+        c32, c64 = float(s32["final_cost"]), float(s64["final_cost"])
+        assert np.isfinite(c32) and np.isfinite(c64)
+        # The f64 island must keep descending where f32 has hit its floor.
+        assert c64 < 0.75 * c32, (c32, c64)
+        assert float(s64["rms_px"]) < float(s32["rms_px"])
