@@ -125,6 +125,14 @@ class PnPConfig:
                                        # track, COLMAP-style)
     guided_pool: int = 8192            # model-descriptor budget (up to 2
                                        # observations per triangulated track)
+    guided_min_inlier_ratio: float = 0.3  # consensus fraction of the guided
+                                       # 2D-3D pool required to accept. Lower
+                                       # than min_inlier_ratio: the pool is
+                                       # ratio-test-filtered model matches
+                                       # where rescue targets legitimately
+                                       # sit near ~0.4 (bunny image 0:
+                                       # 29-30/75) - BA + pruning contain
+                                       # the residual risk
     guided_iters: int = 32768          # RANSAC budget for guided PnP: rescue
                                        # targets sit at ~0.3-0.4 inlier ratio,
                                        # where 6-point samples need ~16x the
@@ -159,6 +167,15 @@ class BAConfig:
     intrinsics_reg_weight: float = 0.1 # ref regularization weight (:498)
     frequency: int = 7                 # run BA every k registrations (ref :19)
     ftol: float = 1e-4                 # relative cost decrease stop (ref :512)
+    blocked_min_fill: float = 0.3      # large scenes (cams >
+                                       # use_dense_schur_below) run the
+                                       # scatter-free (P,V) blocked layout
+                                       # when the track table's fill ratio
+                                       # (valid obs / (T*V)) reaches this;
+                                       # below it, padding waste exceeds the
+                                       # scatter cost and the flat layout
+                                       # wins (measured +16% blocked on
+                                       # uniform tracks)
     f64_normal_equations: bool = False # build/solve the (Schur) normal
                                        # equations in float64 (SURVEY.md
                                        # section 7 hard-part #1: f32 normal

@@ -55,13 +55,27 @@ def pnp_dlt(pts3d, pts2d_norm, weights=None):
         weights = jnp.ones(pts3d.shape[:-1], dtype=pts3d.dtype)
 
     def decompose(Pm):
-        """Project [M | p4] onto SO(3) x R^3 and report weighted mean depth."""
+        """Project [M | p4] onto SO(3) x R^3 and report weighted mean depth.
+
+        SVD-free (TPU: batched 3x3 SVDs over thousands of RANSAC hypotheses
+        are a wall-clock AND remote-compile trap): the orthogonal polar
+        factor comes from Newton-Schulz iteration, the proper-rotation flip
+        for det<0 is P(I - 2vv^T) with v the smallest right singular vector
+        (= the SVD recipe U diag(1,1,-1) V^T exactly), and the nuclear norm
+        for the scale is trace(P^T M) = sum of singular values.
+        """
         M = Pm[..., :3]
-        U, S, Vt = jnp.linalg.svd(M)
-        det = jnp.linalg.det(U @ Vt)
-        D = jnp.stack([jnp.ones_like(det), jnp.ones_like(det), det], axis=-1)
-        R = U @ (D[..., :, None] * Vt)
-        scale = 3.0 / jnp.maximum(jnp.sum(S, axis=-1), _EPS)
+        nrm = jnp.sqrt(jnp.sum(M * M, axis=(-2, -1), keepdims=True))
+        X = M / jnp.maximum(nrm, _EPS)  # sigma_max <= 1: NS converges
+        for _ in range(12):
+            X = 1.5 * X - 0.5 * jnp.einsum("...ij,...kj,...kl->...il", X, X, X)
+        nuclear = jnp.einsum("...ij,...ij->...", X, M)  # trace(P^T M)
+        det = jnp.linalg.det(X)
+        v = smallest_eigvec(jnp.einsum("...ji,...jk->...ik", M, M))  # (.., 3)
+        Pv = jnp.einsum("...ij,...j->...i", X, v)
+        R_flip = X - 2.0 * Pv[..., :, None] * v[..., None, :]
+        R = jnp.where((det < 0)[..., None, None], R_flip, X)
+        scale = 3.0 / jnp.maximum(nuclear, _EPS)
         t = Pm[..., 3] * scale[..., None]
         z = jnp.einsum("...ij,...nj->...ni", R, pts3d)[..., 2] + t[..., 2][..., None]
         mean_z = jnp.sum(z * weights, axis=-1) / jnp.maximum(jnp.sum(weights, axis=-1), _EPS)

@@ -482,7 +482,7 @@ class StructureFromMotion:
                 sample_size=cfg.sample_size,
             )
             n_inl = int(out["num_inliers"])
-            if not (bool(out["ok"]) and n_inl >= cfg.min_inlier_ratio * mm):
+            if not (bool(out["ok"]) and n_inl >= cfg.guided_min_inlier_ratio * mm):
                 return False
             inl = np.asarray(out["inliers"])[:mm]
         self.rvec[img] = np.asarray(out["rvec"])
@@ -558,34 +558,64 @@ class StructureFromMotion:
         return obs_cam.astype(np.int32), obs_point, obs_xy, obs_valid
 
     def bundle_adjust(self, final: bool = False):
-        """Run the sparse LM program on the current state (ref :401-549)."""
-        with self._stage("assemble"):
-            obs_cam, obs_point, obs_xy, obs_valid = self._ba_problem_arrays()
+        """Run the sparse LM program on the current state (ref :401-549).
+
+        Layout pick: small scenes (cams <= use_dense_schur_below) use the
+        flat table + exact dense-Schur solve. Larger scenes use the
+        scatter-free (P, V) blocked layout when the track table is densely
+        filled (>= blocked_min_fill), else the flat PCG path — padding waste
+        vs scatter cost, measured +16% blocked on well-filled tables.
+        """
+        cfg = self.config.ba
         cam_fixed = np.zeros(self.num_images, bool)
         if self.reg_order:
             cam_fixed[self.reg_order[0]] = True
+        obs_ok_2d = (
+            self.view_valid
+            & self.registered[np.clip(self.tracks.view_img, 0, self.num_images - 1)]
+            & self.point_valid[:, None]
+        )
+        fill = obs_ok_2d.mean() if obs_ok_2d.size else 0.0
+        use_blocked = (
+            int(self.registered.sum()) > cfg.use_dense_schur_below
+            and fill >= cfg.blocked_min_fill
+        )
+        if use_blocked:
+            from sfm_tpu.ba.blocked import build_blocked_problem, run_ba_blocked
+
+            prob = build_blocked_problem(
+                rvec=self.rvec, tvec=self.tvec, cam_valid=self.registered,
+                intr=self.intr, points=self.points, point_valid=self.point_valid,
+                obs_cam=np.clip(self.tracks.view_img, 0, self.num_images - 1),
+                obs_xy=self.tracks.view_xy, obs_valid=obs_ok_2d,
+                cam_fixed=cam_fixed,
+            )
+            with self._stage("ba"):
+                out, stats = run_ba_blocked(
+                    prob, cfg, optimize_intrinsics=cfg.optimize_intrinsics,
+                )
+                self._unpack_ba(out, stats)
+            self.metrics.log("ba/rms_px", float(stats["rms_px"]), call=self._ba_calls)
+            if self.config.ba.prune_multiplier > 0:
+                self.prune_observations(
+                    self.config.ba.prune_multiplier
+                    * self.config.triangulation.max_reproj_error
+                )
+            return stats
+        with self._stage("assemble"):
+            obs_cam, obs_point, obs_xy, obs_valid = self._ba_problem_arrays()
         prob = build_problem(
             rvec=self.rvec, tvec=self.tvec, cam_valid=self.registered,
             intr=self.intr, points=self.points, point_valid=self.point_valid,
             obs_cam=obs_cam, obs_point=obs_point, obs_xy=obs_xy,
             obs_valid=obs_valid, cam_fixed=cam_fixed,
         )
-        cfg = self.config.ba
         with self._stage("ba"):  # closes after the syncing downloads
             out, stats = run_ba(
                 prob, cfg,
                 optimize_intrinsics=cfg.optimize_intrinsics,
             )
-            self._ba_calls += 1
-            logger.info(
-                "BA #%d: cost %.1f -> %.1f (%d its, rms %.3f px)",
-                self._ba_calls, float(stats["initial_cost"]), float(stats["final_cost"]),
-                int(stats["iterations"]), float(stats["rms_px"]),
-            )
-            self.rvec = np.array(out.rvec)[: self.num_images]
-            self.tvec = np.array(out.tvec)[: self.num_images]
-            self.intr = np.array(out.intr)
-            self.points = np.array(out.points)[: self.points.shape[0]]
+            self._unpack_ba(out, stats)
         self.metrics.log("ba/rms_px", float(stats["rms_px"]), call=self._ba_calls)
         if self.config.ba.prune_multiplier > 0:
             self.prune_observations(
@@ -593,6 +623,19 @@ class StructureFromMotion:
                 * self.config.triangulation.max_reproj_error
             )
         return stats
+
+    def _unpack_ba(self, out, stats):
+        """Write an LM result (flat or blocked problem) back into state."""
+        self._ba_calls += 1
+        logger.info(
+            "BA #%d: cost %.1f -> %.1f (%d its, rms %.3f px)",
+            self._ba_calls, float(stats["initial_cost"]), float(stats["final_cost"]),
+            int(stats["iterations"]), float(stats["rms_px"]),
+        )
+        self.rvec = np.array(out.rvec)[: self.num_images]
+        self.tvec = np.array(out.tvec)[: self.num_images]
+        self.intr = np.array(out.intr)
+        self.points = np.array(out.points)[: self.points.shape[0]]
 
     def prune_observations(self, threshold: float = None):
         """Mask observations whose post-BA reprojection error exceeds the

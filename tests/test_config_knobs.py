@@ -136,6 +136,44 @@ class TestDenseSchur:
         assert float(s_dense["rms_px"]) < 0.5
 
 
+class TestBlockedPick:
+    def test_engine_uses_blocked_layout_when_configured(self):
+        """cams > use_dense_schur_below and fill >= blocked_min_fill must
+        route BA through the scatter-free blocked layout (round-1: the +16%
+        blocked path existed but nothing called it)."""
+        from tests.test_reconstruction import make_multiview
+        from sfm_tpu.matching import all_pairs_sweep
+        from sfm_tpu.reconstruction import StructureFromMotion
+        import sfm_tpu.ba.blocked as blocked_mod
+
+        rng = np.random.default_rng(4)
+        scene = make_multiview(rng, n_cams=6, n_pts=150, K_budget=128, D=32)
+        cfg = SfMConfig(
+            matching=MatchConfig(max_matches=128),
+            verify=VerifyConfig(ransac_iters=256),
+            pnp=PnPConfig(ransac_iters=256),
+            ba=BAConfig(max_iterations=8, cg_iters=25, optimize_intrinsics=False,
+                        use_dense_schur_below=0, blocked_min_fill=0.0),
+        )
+        table = all_pairs_sweep(scene["xy"], scene["desc"], scene["valid"], cfg, chunk_size=4)
+        calls = []
+        orig = blocked_mod.run_ba_blocked
+
+        def spy(*a, **kw):
+            calls.append(1)
+            return orig(*a, **kw)
+
+        blocked_mod.run_ba_blocked = spy
+        try:
+            sfm = StructureFromMotion(table, scene["xy"], cfg)
+            res = sfm.run_reconstruction()
+        finally:
+            blocked_mod.run_ba_blocked = orig
+        assert calls, "blocked BA path was never taken"
+        assert res.stats["num_cameras"] >= 5
+        assert res.stats["mean_reprojection_error"] < 1.0
+
+
 class TestShardingConfig:
     def test_mesh_from_config(self):
         from sfm_tpu.parallel.mesh import mesh_from_config
