@@ -131,7 +131,9 @@ class SfMPipeline:
                 except Exception:
                     logger.warning("graph visualization failed", exc_info=True)
             if self.args.visualize and len(self.matcher.table.accepted()):
-                for p in self.matcher.table.accepted()[:20]:
+                # One overlay PNG per verified pair, like the reference's
+                # unconditional per-pair visualization (find_matches.py:295).
+                for p in self.matcher.table.accepted():
                     self.matcher.visualize_matches(int(p))
             self.save_metrics()
             logger.info("preprocessing done in %.1fs", time.time() - t0)

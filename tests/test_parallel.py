@@ -137,3 +137,33 @@ class TestShardedBA:
         assert len(sharded.obs_xy.sharding.device_set) == 8
         assert sharded.obs_cam.shape[0] % 8 == 0
         assert sharded.points.sharding.is_fully_replicated
+
+
+class TestDistributed:
+    def test_initialize_single_process_graceful(self):
+        """No coordinator in this environment: initialize() must report
+        single-process mode and leave jax usable, not raise."""
+        from sfm_tpu.parallel import distributed as dist
+
+        assert dist.initialize() is False
+        assert len(jax.devices()) >= 8
+
+    def test_hybrid_mesh_axes(self):
+        from sfm_tpu.parallel.distributed import hybrid_mesh
+        from jax.sharding import PartitionSpec as P
+        import jax.numpy as jnp
+
+        mesh = hybrid_mesh(per_slice=4)
+        assert mesh.axis_names == ("slice", "data")
+        assert mesh.devices.shape == (2, 4)
+
+        # Collectives work over both axes: psum over the full 2-D mesh.
+        from jax import shard_map
+
+        def f(x):
+            return jax.lax.psum(jax.lax.psum(x, "data"), "slice")
+
+        sm = shard_map(f, mesh=mesh, in_specs=P("slice", "data"),
+                       out_specs=P())
+        x = jnp.arange(8.0).reshape(2, 4)
+        np.testing.assert_allclose(np.asarray(sm(x))[()], 28.0)
