@@ -62,8 +62,12 @@ def estimate_fundamental_ransac(
     # dominate TPU wall-clock; epipolar scoring is first-order insensitive)
     # and use 3 inverse-iteration steps (minimal samples have an exact null
     # space: convergence is immediate).
+    # Hypothesis solves: no rank-2 SVD, 3 inverse-iteration steps (exact null
+    # space on minimal samples), and no Cholesky-fallback tier (a degenerate
+    # sample's junk F simply scores no consensus).
     Fs = jax.vmap(
-        lambda a, b: eight_point(a, b, enforce_rank2=False, null_iters=3)
+        lambda a, b: eight_point(a, b, enforce_rank2=False, null_iters=3,
+                                 null_fallback=False)
     )(s1, s2)
 
     # Score every hypothesis against the scoring subset: (iters, N_score).

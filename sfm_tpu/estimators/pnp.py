@@ -24,7 +24,7 @@ _EPS = 1e-12
 
 
 @f32_matmuls
-def pnp_dlt(pts3d, pts2d_norm, weights=None):
+def pnp_dlt(pts3d, pts2d_norm, weights=None, null_fallback: bool = True):
     """Linear PnP from >= 6 correspondences in *normalized* camera coords.
 
     pts3d: (N, 3) world points; pts2d_norm: (N, 2) points premultiplied by
@@ -48,7 +48,7 @@ def pnp_dlt(pts3d, pts2d_norm, weights=None):
     A = A / jnp.maximum(jnp.linalg.norm(A, axis=-1, keepdims=True), _EPS)
 
     AtA = jnp.einsum("...ni,...nj->...ij", A, A)
-    p = smallest_eigvec(AtA)
+    p = smallest_eigvec(AtA, fallback=null_fallback)
     P = p.reshape(p.shape[:-1] + (3, 4))
 
     if weights is None:
@@ -205,7 +205,9 @@ def pnp_ransac(
     s3 = pts3d[idx]   # (iters, S, 3)
     s2n = pn[idx]     # (iters, S, 2)
     s2 = pts2d[idx]
-    Rs, ts = jax.vmap(pnp_dlt)(s3, s2n)
+    # Hypothesis solves skip the Cholesky-fallback tier (degenerate
+    # minimal samples just score no consensus).
+    Rs, ts = jax.vmap(lambda a, b: pnp_dlt(a, b, null_fallback=False))(s3, s2n)
 
     # Per-hypothesis polish: 2 GN steps on the minimal sample.
     def polish(R0, t0, s3_h, s2_h):

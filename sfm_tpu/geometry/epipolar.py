@@ -62,7 +62,7 @@ def normalize_points(pts, weights=None):
 
 @f32_matmuls
 def eight_point(pts1, pts2, weights=None, enforce_rank2: bool = True,
-                null_iters: int = 8):
+                null_iters: int = 8, null_fallback: bool = True):
     """Weighted normalized 8-point fundamental-matrix estimate.
 
     pts1, pts2: (N, 2) pixel correspondences (N >= 8); weights: (N,) soft
@@ -92,7 +92,7 @@ def eight_point(pts1, pts2, weights=None, enforce_rank2: bool = True,
     A = A * weights[..., None]
 
     AtA = jnp.einsum("...ni,...nj->...ij", A, A)
-    f = smallest_eigvec(AtA, iters=null_iters)
+    f = smallest_eigvec(AtA, iters=null_iters, fallback=null_fallback)
     F = f.reshape(f.shape[:-1] + (3, 3))
 
     if enforce_rank2:

@@ -124,7 +124,8 @@ def _chol_solve_unrolled(L, x):
     return jnp.stack(z, axis=-1)
 
 
-def _smallest_eigvec_unrolled(A, iters: int, shift: float, fallback_shift: float):
+def _smallest_eigvec_unrolled(A, iters: int, shift: float, fallback_shift,
+                              fallback: bool = True):
     """Inverse iteration with a fully-unrolled Cholesky — no lax loops.
 
     TPU: jnp.linalg.cholesky/triangular_solve lower to while-loop programs;
@@ -132,15 +133,19 @@ def _smallest_eigvec_unrolled(A, iters: int, shift: float, fallback_shift: float
     unrolled graph AND compile far slower through the remote-TPU path.
     Semantics match the loop-based path: small shift first, large-shift
     fallback where the small-shift factorization hit a nonpositive pivot.
+    ``fallback=False`` skips the second factorization — right for RANSAC
+    hypothesis solves, where a degenerate minimal sample may yield junk that
+    simply scores zero consensus.
     """
     n = A.shape[-1]
     mean_eig = jnp.trace(A, axis1=-2, axis2=-1)[..., None, None] / n
     eye = jnp.eye(n, dtype=A.dtype)
-    L1, bad = _chol_unrolled(A + (shift * mean_eig + 1e-20) * eye)
-    L2, _ = _chol_unrolled(A + (fallback_shift * mean_eig + 1e-20) * eye)
-    pick = lambda a, b: jnp.where(bad, b, a)
-    L = [[None if L1[i][j] is None else pick(L1[i][j], L2[i][j]) for j in range(n)]
-         for i in range(n)]
+    L, bad = _chol_unrolled(A + (shift * mean_eig + 1e-20) * eye)
+    if fallback:
+        L2, _ = _chol_unrolled(A + (fallback_shift * mean_eig + 1e-20) * eye)
+        pick = lambda a, b: jnp.where(bad, b, a)
+        L = [[None if L[i][j] is None else pick(L[i][j], L2[i][j])
+              for j in range(n)] for i in range(n)]
     x = jnp.ones(A.shape[:-1], A.dtype) + 1e-3 * jnp.arange(n, dtype=A.dtype)
     for _ in range(iters):
         y = _chol_solve_unrolled(L, x)
@@ -148,7 +153,8 @@ def _smallest_eigvec_unrolled(A, iters: int, shift: float, fallback_shift: float
     return x
 
 
-def smallest_eigvec(A, iters: int = 8, shift: float = 1e-6, fallback_shift: float = 1e-3):
+def smallest_eigvec(A, iters: int = 8, shift: float = 1e-6, fallback_shift: float = 1e-3,
+                    fallback: bool = True):
     """Eigenvector of the smallest eigenvalue of a PSD matrix (..., n, n).
 
     Shifted inverse iteration: factor (A + shift*mean_eig*I) once (Cholesky),
@@ -157,14 +163,16 @@ def smallest_eigvec(A, iters: int = 8, shift: float = 1e-6, fallback_shift: floa
     matrix indefinite by ~1e-5 * scale and break the factorization — those
     batch entries fall back to the large shift (the fixed point is the same
     eigenvector either way; only the convergence rate and f32 conditioning
-    differ).
+    differ). ``fallback=False`` (n in 5..16 only) skips the second
+    factorization — use for RANSAC hypothesis solves where degenerate
+    samples may score zero instead of being repaired.
     """
     A = jnp.asarray(A)
     n = A.shape[-1]
     if n <= 4:
         return _smallest_eigvec_adjugate(A, iters, shift)
     if n <= 16:
-        return _smallest_eigvec_unrolled(A, iters, shift, fallback_shift)
+        return _smallest_eigvec_unrolled(A, iters, shift, fallback_shift, fallback)
     mean_eig = jnp.trace(A, axis1=-2, axis2=-1)[..., None, None] / n
     eye = jnp.eye(n, dtype=A.dtype)
     L1 = jnp.linalg.cholesky(A + (shift * mean_eig + 1e-20) * eye)

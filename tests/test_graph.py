@@ -125,3 +125,36 @@ class TestCsvParsing:
         g = SfMGraphSelector.from_csv(csv)
         assert g.nodes == [1, 3, 5]
         assert g.edge(1, 3)["num_inliers"] == 70
+
+
+class TestVectorizedNBV:
+    def test_matches_score_components(self):
+        """find_next_best_images (vectorized) must rank exactly as the
+        per-candidate score_components breakdown."""
+        rng = np.random.default_rng(9)
+        recs = []
+        for _ in range(120):
+            i, j = rng.integers(0, 30, 2)
+            if i == j:
+                continue
+            recs.append(
+                {"image1": int(i), "image2": int(j),
+                 "num_matches": int(rng.integers(20, 90)),
+                 "num_inliers": int(rng.integers(10, 80)),
+                 "inlier_ratio": float(rng.uniform(0.3, 0.95)),
+                 "reprojection_error": float(rng.uniform(0.2, 1.5))}
+            )
+        g = SfMGraphSelector(recs)
+        constructed = [int(n) for n in g.nodes[:7]]
+        ranked = g.find_next_best_images(constructed, top_k=100)
+        assert ranked, "no candidates found"
+        for node, score in ranked:
+            comps = g.score_components(node, constructed)
+            assert comps is not None
+            assert abs(score - comps["score"]) < 1e-6
+        # Candidates not linked to the build never appear.
+        linked = {n for n, _ in ranked}
+        for node in g.nodes:
+            if node in constructed or node in linked:
+                continue
+            assert g.score_components(node, constructed) is None
