@@ -166,6 +166,12 @@ class BAConfig:
     optimize_intrinsics: bool = True   # shared fx,fy,cx,cy (ref: per-cam then mean)
     intrinsics_reg_weight: float = 0.1 # ref regularization weight (:498)
     frequency: int = 7                 # run BA every k registrations (ref :19)
+    local_window: int = 0              # >0: periodic BAs optimize only the
+                                       # most recent k registered cameras
+                                       # (earlier poses fixed; points still
+                                       # free) — windowed local BA for long
+                                       # ordered sequences (BASELINE config
+                                       # #3); the final BA is always global
     ftol: float = 1e-4                 # relative cost decrease stop (ref :512)
     blocked_min_fill: float = 0.3      # large scenes (cams >
                                        # use_dense_schur_below) run the

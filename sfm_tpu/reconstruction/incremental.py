@@ -570,6 +570,10 @@ class StructureFromMotion:
         cam_fixed = np.zeros(self.num_images, bool)
         if self.reg_order:
             cam_fixed[self.reg_order[0]] = True
+        if cfg.local_window > 0 and not final:
+            # Windowed local BA: only the most recent k registrations move.
+            fixed = self.reg_order[:-cfg.local_window]
+            cam_fixed[fixed] = True
         obs_ok_2d = (
             self.view_valid
             & self.registered[np.clip(self.tracks.view_img, 0, self.num_images - 1)]

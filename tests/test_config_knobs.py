@@ -174,6 +174,49 @@ class TestBlockedPick:
         assert res.stats["mean_reprojection_error"] < 1.0
 
 
+class TestLocalWindowBA:
+    def test_windowed_ba_fixes_old_cameras(self):
+        """local_window > 0: periodic BAs must leave cameras outside the
+        window untouched (windowed local BA, BASELINE config #3); the final
+        BA stays global."""
+        from tests.test_reconstruction import make_multiview
+        from sfm_tpu.matching import all_pairs_sweep
+        from sfm_tpu.reconstruction import StructureFromMotion
+
+        rng = np.random.default_rng(6)
+        scene = make_multiview(rng, n_cams=6, n_pts=150, K_budget=128, D=32)
+        cfg = SfMConfig(
+            matching=MatchConfig(max_matches=128),
+            verify=VerifyConfig(ransac_iters=256),
+            pnp=PnPConfig(ransac_iters=256, candidate_batch=1),
+            ba=BAConfig(max_iterations=6, cg_iters=20, optimize_intrinsics=False,
+                        frequency=2, local_window=2),
+        )
+        table = all_pairs_sweep(scene["xy"], scene["desc"], scene["valid"], cfg, chunk_size=4)
+        sfm = StructureFromMotion(table, scene["xy"], cfg)
+        sfm.initialize()
+        # register two more cameras -> 4 registered, next BA window = last 2
+        ranked = sfm.selector.find_next_best_images(sfm.reg_order, top_k=10)
+        added = 0
+        for img, _ in ranked:
+            if sfm.register_image(int(img)):
+                sfm._triangulate()
+                added += 1
+            if added == 2:
+                break
+        assert added == 2
+        frozen = list(sfm.reg_order[:-2])
+        before = {i: (sfm.rvec[i].copy(), sfm.tvec[i].copy()) for i in frozen}
+        sfm.bundle_adjust()
+        for i in frozen:
+            np.testing.assert_array_equal(sfm.rvec[i], before[i][0])
+            np.testing.assert_array_equal(sfm.tvec[i], before[i][1])
+        # final BA is global: the same cameras may move
+        moved_before = {i: sfm.rvec[i].copy() for i in frozen}
+        sfm.bundle_adjust(final=True)
+        assert any(not np.array_equal(sfm.rvec[i], moved_before[i]) for i in frozen)
+
+
 class TestShardingConfig:
     def test_mesh_from_config(self):
         from sfm_tpu.parallel.mesh import mesh_from_config
