@@ -45,6 +45,10 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--no_mask", action="store_true", help="disable silhouette masking")
     p.add_argument("--trace_dir", default=None,
                    help="capture an xprof-compatible device trace into this dir")
+    p.add_argument("--config", default=None, dest="config_json",
+                   help="JSON file of SfMConfig overrides (full schema: "
+                        "python -c 'from sfm_tpu.config import SfMConfig; "
+                        "print(SfMConfig().to_json())')")
 
 
 def parse_args(argv=None) -> argparse.Namespace:
@@ -109,7 +113,11 @@ def main(argv=None) -> int:
         from sfm_tpu.config import PnPConfig
         import dataclasses
 
-        cfg = SfMConfig()
+        cfg = (
+            SfMConfig.from_json(args.config_json)
+            if args.config_json
+            else SfMConfig()
+        )
         if pargs.min_matches != 20:
             cfg = cfg.replace(
                 pnp=dataclasses.replace(cfg.pnp, min_matches=pargs.min_matches)

@@ -250,3 +250,55 @@ class SfMConfig:
 
     def replace(self, **kw) -> "SfMConfig":
         return dataclasses.replace(self, **kw)
+
+    # -- serialization ------------------------------------------------------
+    # One JSON file fully describes a run (the reference scatters its knobs
+    # across module constants with no way to record them).
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    def to_json(self, path=None) -> str:
+        import json
+
+        text = json.dumps(self.to_dict(), indent=2)
+        if path is not None:
+            from pathlib import Path
+
+            Path(path).write_text(text)
+        return text
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "SfMConfig":
+        kw = {}
+        for f in dataclasses.fields(cls):
+            if f.name not in d:
+                continue
+            v = d[f.name]
+            sub = {
+                "features": FeatureConfig, "matching": MatchConfig,
+                "verify": VerifyConfig, "pnp": PnPConfig,
+                "triangulation": TriangulationConfig, "ba": BAConfig,
+                "select": SelectConfig, "camera": CameraConfig,
+                "sharding": ShardingConfig,
+            }.get(f.name)
+            if sub is not None:
+                unknown = set(v) - {sf.name for sf in dataclasses.fields(sub)}
+                if unknown:
+                    raise ValueError(f"unknown {f.name} config fields: {sorted(unknown)}")
+                if f.name == "sharding" and v.get("mesh_shape") is not None:
+                    v = dict(v, mesh_shape=tuple(v["mesh_shape"]))
+                kw[f.name] = sub(**v)
+            else:
+                kw[f.name] = v
+        return cls(**kw)
+
+    @classmethod
+    def from_json(cls, path_or_text) -> "SfMConfig":
+        import json
+        from pathlib import Path
+
+        s = str(path_or_text)
+        if not s.lstrip().startswith("{"):
+            s = Path(s).read_text()
+        return cls.from_dict(json.loads(s))

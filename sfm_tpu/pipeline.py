@@ -59,6 +59,8 @@ class SfMPipeline:
     def save_metrics(self):
         """Metrics JSON next to the run artifacts (SURVEY.md section 5)."""
         self.metrics.save(self.output_dir / "metrics.json")
+        # The effective config rides along so any run is reproducible.
+        self.config.to_json(self.output_dir / "config.json")
 
     # ----------------------------------------------------------- validation
 

@@ -271,3 +271,33 @@ class TestMinMatches:
         assert sfm_strict.register_candidates([(img, 1.0)], max_accept=1) == 0
         # The permissive config registers the same image from the same state.
         assert sfm.register_image(img)
+
+
+class TestConfigSerialization:
+    def test_json_roundtrip(self):
+        cfg = SfMConfig(
+            verify=VerifyConfig(ransac_iters=777),
+            pnp=PnPConfig(min_matches=42),
+            sharding=ShardingConfig(data_axis="x", mesh_shape=(4,)),
+        )
+        back = SfMConfig.from_json(cfg.to_json())
+        assert back == cfg
+
+    def test_partial_override(self):
+        back = SfMConfig.from_json('{"pnp": {"min_matches": 99}}')
+        assert back.pnp.min_matches == 99
+        assert back.verify.ransac_iters == SfMConfig().verify.ransac_iters
+
+    def test_unknown_field_rejected(self):
+        with pytest.raises(ValueError, match="unknown"):
+            SfMConfig.from_json('{"pnp": {"does_not_exist": 1}}')
+
+    def test_cli_config_flag(self, tmp_path):
+        from sfm_tpu.cli import parse_args
+
+        p = tmp_path / "cfg.json"
+        p.write_text('{"verify": {"ransac_iters": 128}}')
+        args = parse_args(["preprocess", "--data_dir", str(tmp_path),
+                           "--config", str(p)])
+        assert args.config_json == str(p)
+        assert SfMConfig.from_json(args.config_json).verify.ransac_iters == 128
