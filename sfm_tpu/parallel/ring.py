@@ -125,10 +125,22 @@ def ring_all_pairs_sweep(
         out = match_and_verify(k, d1, x1, v1, d2, x2, v2, **kwargs)
         return {f: out[f] for f in _SUMMARY_KEYS}
 
+    # Half-ring schedule: steps 0..floor(D/2) instead of 0..D-1. At a "full"
+    # cross step each unordered block pair is held by exactly one device, so
+    # every slot is useful once operands are canonicalized to (min id, max
+    # id); only the triangle step (s=0) and, for even D, the antipodal step
+    # (s=D/2, both ends hold the pair) need the gi<gj direction mask. Cuts
+    # the slot count from D*Nl^2 to (D/2+1)*Nl^2 with ~20% masked instead
+    # of 50%.
+    n_steps = D // 2 + 1
+    full_flag = np.array(
+        [s > 0 and not (D % 2 == 0 and s == D // 2) for s in range(n_steps)]
+    )
+
     def shard_fn(base_key, ids_b, xy_b, desc_b, valid_b):
         slots_d = jnp.asarray(slots)
 
-        def step(vis, _):
+        def step(vis, full):
             vids, vxy, vdesc, vvalid = vis
 
             def chunk_fn(sl):
@@ -136,14 +148,25 @@ def ring_all_pairs_sweep(
                 a = jnp.maximum(sl[:, 0], 0)
                 b = jnp.maximum(sl[:, 1], 0)
                 gia, gjb = ids_b[a], vids[b]
-                keys = jax.vmap(lambda g1, g2: _pair_key(base_key, g1, g2))(gia, gjb)
-                out = jax.vmap(summary_fn)(
-                    keys, desc_b[a], xy_b[a], valid_b[a],
-                    vdesc[b], vxy[b], vvalid[b],
-                )
-                active = (gia >= 0) & (gjb >= 0) & (gia < gjb) & ~pad_slot
-                out["accept"] = out["accept"] & active
-                out["gi"], out["gj"], out["active"] = gia, gjb, active
+                keep = (gia >= 0) & (gjb >= 0) & (gia != gjb) & ~pad_slot
+                keep = keep & (full | (gia < gjb))
+                # Canonicalize to (smaller id, larger id): the pair program
+                # and its RANSAC key are order-sensitive.
+                swap = full & (gia > gjb)
+                gi = jnp.where(swap, gjb, gia)
+                gj = jnp.where(swap, gia, gjb)
+                sel = lambda mine, vis_: jnp.where(
+                    swap.reshape((-1,) + (1,) * (mine.ndim - 1)), vis_, mine)
+                d1 = sel(desc_b[a], vdesc[b])
+                x1 = sel(xy_b[a], vxy[b])
+                v1 = sel(valid_b[a], vvalid[b])
+                d2 = sel(vdesc[b], desc_b[a])
+                x2 = sel(vxy[b], xy_b[a])
+                v2 = sel(vvalid[b], valid_b[a])
+                keys = jax.vmap(lambda g1, g2: _pair_key(base_key, g1, g2))(gi, gj)
+                out = jax.vmap(summary_fn)(keys, d1, x1, v1, d2, x2, v2)
+                out["accept"] = out["accept"] & keep
+                out["gi"], out["gj"], out["active"] = gi, gj, keep
                 return out
 
             outs = jax.lax.map(chunk_fn, slots_d)      # (nchunks, S, ...)
@@ -155,7 +178,7 @@ def ring_all_pairs_sweep(
             return nxt, outs
 
         my = (ids_b, xy_b, desc_b, valid_b)
-        _, ys = jax.lax.scan(step, my, None, length=D)   # (D, nslots_p, ...)
+        _, ys = jax.lax.scan(step, my, jnp.asarray(full_flag))
         return jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]), ys)
 
     fn = shard_map(

@@ -86,6 +86,27 @@ class TestRingSweep:
         np.testing.assert_array_equal(ref.inliers[acc], ring.inliers[acc])
         np.testing.assert_allclose(ref.xy1[acc], ring.xy1[acc], atol=1e-4)
 
+    def test_odd_mesh_size(self, rng):
+        """Half-ring schedule must cover every pair for odd D too (no
+        antipodal step there)."""
+        from tests.test_reconstruction import make_multiview
+        from sfm_tpu.parallel.ring import ring_all_pairs_sweep
+
+        scene = make_multiview(rng, n_cams=11, n_pts=200, K_budget=128, D=32,
+                               noise_px=0.2)
+        cfg = SfMConfig(
+            matching=MatchConfig(max_matches=128),
+            verify=VerifyConfig(ransac_iters=256),
+        )
+        ref = all_pairs_sweep(
+            scene["xy"], scene["desc"], scene["valid"], cfg, chunk_size=8
+        )
+        ring = ring_all_pairs_sweep(
+            scene["xy"], scene["desc"], scene["valid"], make_mesh(5), cfg
+        )
+        np.testing.assert_array_equal(ref.accept, ring.accept)
+        np.testing.assert_array_equal(ref.num_inliers, ring.num_inliers)
+
     def test_tracks_build_from_ring_table(self, rng, mesh):
         """Downstream consumers only touch accepted rows — the ring table
         (zeroed artifacts for rejected pairs) must feed build_tracks."""
