@@ -99,10 +99,16 @@ class PnPConfig:
                                        # (the loop is tunnel-latency-bound;
                                        # all passers register in score order)
     refine_iters: int = 10             # Gauss-Newton polish on inliers
-    sample_size: int = 6               # minimal DLT sample; 6 keeps the
-                                       # all-inlier probability usable at the
-                                       # ~0.35 inlier ratios of late
-                                       # registrations (0.35^6 vs 0.35^8)
+    sample_size: int = 3               # 3 = minimal P3P (Grunert quartic via
+                                       # Durand-Kerner, up to 4 exact poses
+                                       # per sample): P(all-inlier) = rho^3,
+                                       # which keeps late registrations
+                                       # tractable down to ~0.15 inlier
+                                       # ratio where the 6-point DLT path
+                                       # finds nothing (measured); also
+                                       # faster (28.8 vs 38.1 ms @ 2048
+                                       # hypotheses). >= 6 selects the
+                                       # DLT + per-hypothesis-GN path
     budget: int = 2048                 # padded 2D-3D correspondence capacity
     min_inlier_ratio: float = 0.4      # PnP consensus must also cover this
                                        # fraction of the correspondence pool
@@ -133,11 +139,11 @@ class PnPConfig:
                                        # sit near ~0.4 (bunny image 0:
                                        # 29-30/75) - BA + pruning contain
                                        # the residual risk
-    guided_iters: int = 32768          # RANSAC budget for guided PnP: rescue
-                                       # targets sit at ~0.3-0.4 inlier ratio,
-                                       # where 6-point samples need ~16x the
-                                       # standard budget (0.4^6 per draw);
-                                       # guided runs rarely, one dispatch
+    guided_iters: int = 8192           # RANSAC budget for guided PnP: rescue
+                                       # targets sit at ~0.3-0.4 inlier
+                                       # ratio; with P3P samples (rho^3 per
+                                       # draw) 8192 draws give >200 expected
+                                       # all-inlier samples at rho=0.3
 
 
 @dataclasses.dataclass(frozen=True)

@@ -91,6 +91,96 @@ def pnp_dlt(pts3d, pts2d_norm, weights=None, null_fallback: bool = True):
     return R, t
 
 
+def _quartic_roots_dk(c4, c3, c2, c1, c0, iters: int = 30):
+    """All four roots of c4 z^4 + ... + c0 via Durand-Kerner — unrolled
+    complex fixed-point iteration, no eigensolver (TPU-compile-friendly and
+    vmappable over RANSAC hypotheses). Non-converged/degenerate inputs yield
+    junk roots that downstream validity masks reject."""
+    scale = jnp.where(jnp.abs(c4) > 1e-12, c4, jnp.where(c4 >= 0, 1e-12, -1e-12))
+    a3, a2, a1, a0 = c3 / scale, c2 / scale, c1 / scale, c0 / scale
+    seed = jnp.asarray(0.4 + 0.9j, jnp.complex64) ** jnp.arange(4)
+    z = seed * (1.0 + jnp.abs(a0)) ** 0.25  # radius ~ magnitude of roots
+
+    def p(x):
+        return (((x + a3) * x + a2) * x + a1) * x + a0
+
+    for _ in range(iters):
+        diff = z[:, None] - z[None, :] + jnp.eye(4, dtype=z.dtype)
+        denom = jnp.prod(diff, axis=1)
+        z = z - p(z) / jnp.where(jnp.abs(denom) > 1e-20, denom, 1e-20)
+    return z
+
+
+def _p3p_candidates(s3, s2n):
+    """Grunert's P3P: 3 world points + 3 normalized image coords ->
+    up to 4 candidate poses. Returns (Rs (4,3,3), ts (4,3), ok (4,)).
+
+    Quartic in v = d3/d1 (Haralick et al., "Review and analysis of solutions
+    of the three point perspective pose estimation problem", IJCV 1994);
+    absolute orientation from the 3 camera-frame points via orthonormal
+    triads (no SVD). Every failure mode (complex/negative roots, degenerate
+    triangles, zero denominators) masks the candidate instead of branching.
+    """
+    f = jnp.concatenate([s2n, jnp.ones_like(s2n[..., :1])], -1)
+    f = f / jnp.maximum(jnp.linalg.norm(f, axis=-1, keepdims=True), _EPS)
+    P1, P2, P3 = s3[0], s3[1], s3[2]
+    f1, f2, f3 = f[0], f[1], f[2]
+    a2 = jnp.sum((P2 - P3) ** 2)
+    b2 = jnp.maximum(jnp.sum((P1 - P3) ** 2), _EPS)
+    c2 = jnp.sum((P1 - P2) ** 2)
+    cos_a = f2 @ f3
+    cos_b = f1 @ f3
+    cos_c = f1 @ f2
+    q = (a2 - c2) / b2
+    A4 = (q - 1.0) ** 2 - 4.0 * c2 / b2 * cos_a**2
+    A3 = 4.0 * (q * (1.0 - q) * cos_b
+                - (1.0 - (a2 + c2) / b2) * cos_a * cos_c
+                + 2.0 * c2 / b2 * cos_a**2 * cos_b)
+    A2 = 2.0 * (q**2 - 1.0 + 2.0 * q**2 * cos_b**2
+                + 2.0 * (b2 - c2) / b2 * cos_a**2
+                - 4.0 * (a2 + c2) / b2 * cos_a * cos_b * cos_c
+                + 2.0 * (b2 - a2) / b2 * cos_c**2)
+    A1 = 4.0 * (-q * (1.0 + q) * cos_b
+                + 2.0 * a2 / b2 * cos_c**2 * cos_b
+                - (1.0 - (a2 + c2) / b2) * cos_a * cos_c)
+    A0 = (1.0 + q) ** 2 - 4.0 * a2 / b2 * cos_c**2
+
+    roots = _quartic_roots_dk(A4, A3, A2, A1, A0)          # (4,) complex
+    v = jnp.real(roots)
+    root_ok = (jnp.abs(jnp.imag(roots)) < 1e-4 * (1.0 + jnp.abs(v))) & (v > _EPS)
+
+    num = (-1.0 + q) * v * v - 2.0 * q * cos_b * v + 1.0 + q
+    den = 2.0 * (cos_c - v * cos_a)
+    u = num / jnp.where(jnp.abs(den) > 1e-9, den, 1e-9)
+    s = 1.0 + v * v - 2.0 * v * cos_b
+    ok = root_ok & (u > _EPS) & (s > _EPS) & (jnp.abs(den) > 1e-9)
+    d1 = jnp.sqrt(b2 / jnp.maximum(s, _EPS))               # (4,)
+    Pc = jnp.stack([
+        d1[:, None] * f1[None, :],
+        (u * d1)[:, None] * f2[None, :],
+        (v * d1)[:, None] * f3[None, :],
+    ], axis=1)                                             # (4, 3, 3)
+
+    def triad(Q):
+        e1 = Q[..., 1, :] - Q[..., 0, :]
+        e1 = e1 / jnp.maximum(jnp.linalg.norm(e1, axis=-1, keepdims=True), _EPS)
+        e2 = Q[..., 2, :] - Q[..., 0, :]
+        e2 = e2 - jnp.sum(e2 * e1, axis=-1, keepdims=True) * e1
+        n2 = jnp.linalg.norm(e2, axis=-1, keepdims=True)
+        e2 = e2 / jnp.maximum(n2, _EPS)
+        e3 = jnp.cross(e1, e2)
+        return jnp.stack([e1, e2, e3], axis=-1), n2[..., 0] > 1e-9
+
+    Tw, w_ok = triad(s3)                                   # (3, 3)
+    Tc, c_ok = triad(Pc)                                   # (4, 3, 3)
+    Rs = jnp.einsum("kij,lj->kil", Tc, Tw)                 # Tc @ Tw^T
+    ts = Pc[:, 0, :] - jnp.einsum("kij,j->ki", Rs, P1)
+    ok = ok & c_ok & w_ok & jnp.isfinite(Rs).all(axis=(-2, -1)) & jnp.isfinite(ts).all(axis=-1)
+    Rs = jnp.where(ok[:, None, None], Rs, jnp.eye(3, dtype=Rs.dtype))
+    ts = jnp.where(ok[:, None], ts, 0.0)
+    return Rs, ts, ok
+
+
 def _gn_step(rvec, t, pts3d, pts2d, K, w):
     """One damped Gauss-Newton step on masked reprojection residuals."""
 
@@ -205,21 +295,35 @@ def pnp_ransac(
     s3 = pts3d[idx]   # (iters, S, 3)
     s2n = pn[idx]     # (iters, S, 2)
     s2 = pts2d[idx]
-    # Hypothesis solves skip the Cholesky-fallback tier (degenerate
-    # minimal samples just score no consensus).
-    Rs, ts = jax.vmap(lambda a, b: pnp_dlt(a, b, null_fallback=False))(s3, s2n)
+    if sample_size == 3:
+        # Minimal P3P: each sample yields up to 4 exact candidate poses
+        # (flattened into the hypothesis axis; invalid candidates score
+        # zero). No polish — the pose interpolates its sample exactly, and
+        # the P(all-inlier) advantage of 3-point samples (rho^3 vs rho^6)
+        # is what makes low-ratio rescue registrations tractable.
+        Rs, ts, cand_ok = jax.vmap(_p3p_candidates)(s3, s2n)
+        Rs = Rs.reshape(-1, 3, 3)
+        ts = ts.reshape(-1, 3)
+        cand_ok = cand_ok.reshape(-1)
+    else:
+        # Hypothesis solves skip the Cholesky-fallback tier (degenerate
+        # minimal samples just score no consensus).
+        Rs, ts = jax.vmap(lambda a, b: pnp_dlt(a, b, null_fallback=False))(s3, s2n)
 
-    # Per-hypothesis polish: 2 GN steps on the minimal sample.
-    def polish(R0, t0, s3_h, s2_h):
-        params = _gn_sample_step(rotation_to_rvec(R0), t0, s3_h, s2_h, K)
-        params = _gn_sample_step(params[:3], params[3:], s3_h, s2_h, K)
-        return rodrigues(params[:3]), params[3:]
+        # Per-hypothesis polish: 2 GN steps on the minimal sample.
+        def polish(R0, t0, s3_h, s2_h):
+            params = _gn_sample_step(rotation_to_rvec(R0), t0, s3_h, s2_h, K)
+            params = _gn_sample_step(params[:3], params[3:], s3_h, s2_h, K)
+            return rodrigues(params[:3]), params[3:]
 
-    Rs, ts = jax.vmap(polish)(Rs, ts, s3, s2)
+        Rs, ts = jax.vmap(polish)(Rs, ts, s3, s2)
+        cand_ok = None
 
     proj, depth = jax.vmap(project, in_axes=(None, 0, 0, None))(pts3d, Rs, ts, K)
     errors = jnp.linalg.norm(proj - pts2d[None], axis=-1)
     errors = jnp.where(depth > 0, errors, jnp.inf)  # behind-camera = outlier
+    if cand_ok is not None:
+        errors = jnp.where(cand_ok[:, None], errors, jnp.inf)
     best_h, best_inliers, _ = ransac_select(errors, valid, threshold)
 
     # Polish on the consensus set (init from the winning hypothesis), then

@@ -161,3 +161,60 @@ class TestVmappedPairSweep:
         )(keys, P1, P2, V)
         assert out["F"].shape == (4, 3, 3)
         assert (np.asarray(out["num_inliers"]) >= 70).all()
+
+
+class TestP3P:
+    def test_candidates_recover_gt(self):
+        """Grunert P3P must contain the true pose among its <=4 candidates."""
+        from sfm_tpu.estimators.pnp import _p3p_candidates
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(12)  # own rng: the shared fixture's
+        # state depends on test order and this asserts a success *rate*
+        ok = tot = 0
+        for _ in range(60):
+            A = rng.normal(size=(3, 3))
+            Q, _ = np.linalg.qr(A)
+            R_gt = (Q * np.sign(np.linalg.det(Q))).astype(np.float32)
+            t_gt = rng.normal(size=3).astype(np.float32)
+            Pw = rng.uniform(-2, 2, (3, 3)).astype(np.float32)
+            Pc = Pw @ R_gt.T + t_gt
+            if (Pc[:, 2] <= 0.2).any():
+                continue
+            tot += 1
+            s2n = (Pc[:, :2] / Pc[:, 2:]).astype(np.float32)
+            Rs, ts, okc = map(np.asarray, _p3p_candidates(
+                jnp.asarray(Pw), jnp.asarray(s2n)))
+            errs = [np.abs(Rs[k] - R_gt).max() + np.abs(ts[k] - t_gt).max()
+                    for k in range(4) if okc[k]]
+            ok += min(errs, default=np.inf) < 1e-3
+        assert tot >= 10
+        assert ok / tot > 0.8  # f32 Durand-Kerner tolerance
+
+    def test_p3p_survives_low_inlier_ratio(self):
+        """At ~15% inliers the 6-point DLT path finds nothing in 2048 draws
+        (0.15^6); P3P (0.15^3) must recover the pose."""
+        from sfm_tpu.estimators.pnp import pnp_ransac
+        import jax
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(7)
+        n, budget = 300, 512
+        pts = rng.uniform(-2, 2, (n, 3)).astype(np.float32)
+        pts[:, 2] += 8
+        K = np.array([[1228.0, 0, 512], [0, 1228.0, 384], [0, 0, 1]], np.float32)
+        R = np.eye(3, dtype=np.float32)
+        t = np.array([0.1, 0, 0.5], np.float32)
+        proj = (pts @ R.T + t) @ K.T
+        xy = (proj[:, :2] / proj[:, 2:]).astype(np.float32)
+        xy += rng.normal(scale=0.5, size=xy.shape).astype(np.float32)
+        out = rng.random(n) < 0.85
+        xy[out] = rng.uniform(0, 1024, (int(out.sum()), 2)).astype(np.float32)
+        p3 = np.zeros((budget, 3), np.float32)
+        p2 = np.zeros((budget, 2), np.float32)
+        v = np.zeros(budget, bool)
+        p3[:n], p2[:n], v[:n] = pts, xy, True
+        o = pnp_ransac(jax.random.key(1), jnp.asarray(p3), jnp.asarray(p2),
+                       jnp.asarray(v), jnp.asarray(K), iters=2048, sample_size=3)
+        assert bool(o["ok"])
+        assert np.abs(np.asarray(o["R"]) - R).max() < 0.01
