@@ -110,7 +110,6 @@ def main(argv=None) -> int:
         trace_dir=args.trace_dir,
     )
     try:
-        from sfm_tpu.config import PnPConfig
         import dataclasses
 
         cfg = (

@@ -156,8 +156,6 @@ def detect_and_describe_batch(
     remote-tunneled TPU), while the cap bounds the vmap's working set — the
     un-fused pyramid grids of a full 36-image batch need ~47 GB HBM.
     """
-    import numpy as np
-
     images = jnp.asarray(images, jnp.float32)
     N = images.shape[0]
     has_mask = masks is not None

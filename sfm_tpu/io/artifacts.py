@@ -15,7 +15,6 @@ union-find track builder needs.
 from __future__ import annotations
 
 import csv
-import re
 from pathlib import Path
 from typing import Dict, Tuple
 

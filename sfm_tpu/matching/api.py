@@ -22,7 +22,7 @@ import numpy as np
 from sfm_tpu.config import SfMConfig
 from sfm_tpu.io.images import load_image_gray, load_mask
 from sfm_tpu.features import detect_and_describe, detect_and_describe_batch
-from sfm_tpu.matching.sweep import all_pairs_sweep, candidate_pairs, PairTable
+from sfm_tpu.matching.sweep import all_pairs_sweep, PairTable
 
 logger = logging.getLogger(__name__)
 

@@ -11,7 +11,6 @@ by median triangulation parallax, gated on two-view consistency.
 """
 from __future__ import annotations
 
-from functools import partial
 
 import numpy as np
 import jax
