@@ -145,6 +145,18 @@ class SfMExporter:
 
     # ------------------------------------------------------------- COLMAP
 
+    def _obs_maps(self):
+        """Per-image observation lists + the (img, point) -> POINT2D_IDX map
+        COLMAP's track entries must reference."""
+        per_image: Dict[int, list] = {i: [] for i in self.image_ids}
+        obs_idx: Dict[tuple, int] = {}
+        for pid, tr in enumerate(self.tracks):
+            for img, x, y in tr:
+                if img in per_image:
+                    obs_idx[(img, pid)] = len(per_image[img])
+                    per_image[img].append((pid, x, y))
+        return per_image, obs_idx
+
     def export_colmap(self, out_dir) -> None:
         """cameras.txt / images.txt / points3D.txt (ref export.py:50-121)."""
         out = Path(out_dir)
@@ -158,12 +170,7 @@ class SfMExporter:
             f.write(f"# Number of cameras: 1\n")
             f.write(f"1 PINHOLE {w} {h} {fx:.6f} {fy:.6f} {cx:.6f} {cy:.6f}\n")
 
-        # Observation lists per image: (point_id, x, y)
-        per_image: Dict[int, list] = {i: [] for i in self.image_ids}
-        for pid, tr in enumerate(self.tracks):
-            for img, x, y in tr:
-                if img in per_image:
-                    per_image[img].append((pid, x, y))
+        per_image, obs_idx = self._obs_maps()
 
         with (out / "images.txt").open("w") as f:
             f.write("# Image list with two lines of data per image:\n")
@@ -191,13 +198,61 @@ class SfMExporter:
             img_rank = {img: k + 1 for k, img in enumerate(sorted(self.image_ids))}
             for pid, (p, tr) in enumerate(zip(self.points, self.tracks)):
                 track_str = " ".join(
-                    f"{img_rank[img]} {idx}"
-                    for idx, (img, _, _) in enumerate(tr)
+                    f"{img_rank[img]} {obs_idx[(img, pid)]}"
+                    for (img, _, _) in tr
                     if img in img_rank
                 )
                 f.write(
                     f"{pid + 1} {p[0]:.6f} {p[1]:.6f} {p[2]:.6f} 128 128 128 1.0 {track_str}\n"
                 )
+
+    def export_colmap_bin(self, out_dir) -> None:
+        """cameras.bin / images.bin / points3D.bin — COLMAP's default binary
+        model format (what the GUI and most downstream tools load first).
+        Beyond reference parity: the reference only writes the text format.
+        """
+        import struct
+
+        out = Path(out_dir)
+        out.mkdir(parents=True, exist_ok=True)
+        w, h = self.image_size
+        fx, fy, cx, cy = (float(v) for v in self.intr)
+
+        with (out / "cameras.bin").open("wb") as f:
+            f.write(struct.pack("<Q", 1))
+            # camera_id, model_id (PINHOLE = 1), width, height, params
+            f.write(struct.pack("<iiQQ", 1, 1, w, h))
+            f.write(struct.pack("<dddd", fx, fy, cx, cy))
+
+        per_image, obs_idx = self._obs_maps()
+        with (out / "images.bin").open("wb") as f:
+            f.write(struct.pack("<Q", len(self.image_ids)))
+            for k, img in enumerate(sorted(self.image_ids)):
+                q = np.asarray(quaternion_from_matrix(self.rotations[img]), np.float64)
+                t = np.asarray(self.translations[img], np.float64)
+                f.write(struct.pack("<i", k + 1))
+                f.write(struct.pack("<dddd", *q))
+                f.write(struct.pack("<ddd", *t))
+                f.write(struct.pack("<i", 1))
+                f.write(f"{img:04d}.ppm".encode() + b"\x00")
+                obs = per_image[img]
+                f.write(struct.pack("<Q", len(obs)))
+                for pid, x, y in obs:
+                    f.write(struct.pack("<ddq", float(x), float(y), pid + 1))
+
+        img_rank = {img: k + 1 for k, img in enumerate(sorted(self.image_ids))}
+        with (out / "points3D.bin").open("wb") as f:
+            f.write(struct.pack("<Q", len(self.points)))
+            for pid, (p, tr) in enumerate(zip(self.points, self.tracks)):
+                f.write(struct.pack("<q", pid + 1))
+                f.write(struct.pack("<ddd", float(p[0]), float(p[1]), float(p[2])))
+                f.write(struct.pack("<BBB", 128, 128, 128))
+                f.write(struct.pack("<d", 1.0))
+                track = [(img_rank[img], obs_idx[(img, pid)])
+                         for (img, _, _) in tr if img in img_rank]
+                f.write(struct.pack("<Q", len(track)))
+                for image_id, p2d in track:
+                    f.write(struct.pack("<ii", image_id, p2d))
 
     def create_colmap_database(self, path) -> None:
         """Minimal COLMAP SQLite db: cameras + images (ref export.py:153-183)."""
@@ -231,9 +286,11 @@ class SfMExporter:
         save_ply(self.points, path)
 
     def export_all(self, out_dir) -> None:
-        """COLMAP text + db + meshlab PLY (ref export.py:185-197)."""
+        """COLMAP text + binary + db + meshlab PLY (ref export.py:185-197;
+        the binary model is beyond reference parity)."""
         out = Path(out_dir)
         colmap = out / "colmap"
         self.export_colmap(colmap)
+        self.export_colmap_bin(colmap)
         self.create_colmap_database(colmap / "database.db")
         self.export_meshlab(out / "meshlab.ply")

@@ -123,3 +123,75 @@ class TestCalib:
             P2 = K @ np.concatenate([R, t[:, None]], axis=1)
             scale = P[0, 0] / P2[0, 0]
             np.testing.assert_allclose(P2 * scale, P, rtol=1e-4, atol=1e-3)
+
+
+class TestColmapBinary:
+    def test_binary_roundtrip(self, tmp_path):
+        """cameras/images/points3D.bin must parse back to the same model
+        (struct layout per COLMAP's read_write_model)."""
+        import struct
+        from sfm_tpu.io.export import SfMExporter
+        from sfm_tpu.reconstruction.incremental import ReconstructionResult
+
+        rng = np.random.default_rng(0)
+        n_img, n_pts, V = 4, 30, 3
+        obs_img = np.full((n_pts, V), -1, np.int32)
+        obs_xy = np.zeros((n_pts, V, 2), np.float32)
+        for m in range(n_pts):
+            views = rng.choice(n_img, 2, replace=False)
+            for v, img in enumerate(views):
+                obs_img[m, v] = img
+                obs_xy[m, v] = rng.uniform(0, 500, 2)
+        res = ReconstructionResult(
+            image_ids=np.arange(n_img),
+            rotations=np.tile(np.eye(3, dtype=np.float32), (n_img, 1, 1)),
+            translations=rng.normal(size=(n_img, 3)).astype(np.float32),
+            intrinsics=np.array([800.0, 810.0, 320.0, 240.0], np.float32),
+            points3d=rng.normal(size=(n_pts, 3)).astype(np.float32),
+            track_ids=np.arange(n_pts),
+            obs_img=obs_img, obs_xy=obs_xy, stats={},
+        )
+        exp = SfMExporter(result=res, image_size=(640, 480))
+        exp.export_colmap_bin(tmp_path)
+
+        with (tmp_path / "cameras.bin").open("rb") as f:
+            (n_cam,) = struct.unpack("<Q", f.read(8))
+            cam_id, model, w, h = struct.unpack("<iiQQ", f.read(24))
+            params = struct.unpack("<dddd", f.read(32))
+        assert (n_cam, cam_id, model, w, h) == (1, 1, 1, 640, 480)
+        np.testing.assert_allclose(params, [800.0, 810.0, 320.0, 240.0])
+
+        with (tmp_path / "images.bin").open("rb") as f:
+            (n_im,) = struct.unpack("<Q", f.read(8))
+            assert n_im == n_img
+            total_obs = 0
+            for _ in range(n_im):
+                (img_id,) = struct.unpack("<i", f.read(4))
+                q = struct.unpack("<dddd", f.read(32))
+                t = struct.unpack("<ddd", f.read(24))
+                (cam,) = struct.unpack("<i", f.read(4))
+                name = b""
+                while (ch := f.read(1)) != b"\x00":
+                    name += ch
+                (n_obs,) = struct.unpack("<Q", f.read(8))
+                total_obs += n_obs
+                f.read(n_obs * 24)
+                assert cam == 1 and name.endswith(b".ppm")
+                np.testing.assert_allclose(q[0], 1.0, atol=1e-9)  # identity R
+            assert total_obs == 2 * n_pts
+
+        with (tmp_path / "points3D.bin").open("rb") as f:
+            (n_p,) = struct.unpack("<Q", f.read(8))
+            assert n_p == n_pts
+            for _ in range(n_p):
+                (pid,) = struct.unpack("<q", f.read(8))
+                xyz = struct.unpack("<ddd", f.read(24))
+                rgb = struct.unpack("<BBB", f.read(3))
+                (err,) = struct.unpack("<d", f.read(8))
+                (tl,) = struct.unpack("<Q", f.read(8))
+                track = [struct.unpack("<ii", f.read(8)) for _ in range(tl)]
+                assert tl == 2
+                np.testing.assert_allclose(
+                    xyz, res.points3d[pid - 1], atol=1e-6)
+                for image_id, p2d in track:
+                    assert 1 <= image_id <= n_img and p2d >= 0
