@@ -168,7 +168,12 @@ class BAConfig:
     huber_delta: float = 2.0           # px (ref uses huber loss, :511)
     cg_iters: int = 50                 # CG iterations on the Schur system
     cg_tol: float = 1e-6
-    use_dense_schur_below: int = 256   # cams <= this -> dense Cholesky on S
+    use_dense_schur_below: int = 128   # cams <= this -> dense Cholesky on S
+                                       # (measured: dense wins at 36 cams
+                                       # [62 vs 39 LM it/s] and 100 [6.2 vs
+                                       # 4.8]; PCG wins at 256 [2.8 vs 1.6]
+                                       # - the S build is 6C+4 batched
+                                       # matvecs, quadratic in C)
     optimize_intrinsics: bool = True   # shared fx,fy,cx,cy (ref: per-cam then mean)
     intrinsics_reg_weight: float = 0.1 # ref regularization weight (:498)
     frequency: int = 7                 # run BA every k registrations (ref :19)
