@@ -683,6 +683,16 @@ class StructureFromMotion:
             points=self.points, point_valid=self.point_valid,
             view_valid=self.view_valid, intr=self.intr,
             ba_calls=np.int64(self._ba_calls),
+            # The track table itself: guided registration EXTENDS it
+            # (_extend_tracks), so restoring view_valid against a freshly
+            # rebuilt table would flag slots whose view_img is still -1 —
+            # clipped to image 0 in the BA gather, i.e. fabricated
+            # observations.
+            track_view_img=self.tracks.view_img,
+            track_view_kp=self.tracks.view_kp,
+            track_view_xy=self.tracks.view_xy,
+            track_length=self.tracks.length,
+            track_kp_track=self.tracks.kp_track,
         )
 
     def load_checkpoint(self, path):
@@ -698,6 +708,14 @@ class StructureFromMotion:
         self.view_valid = z["view_valid"].copy()
         self.intr = z["intr"].copy()
         self._ba_calls = int(z["ba_calls"])
+        if "track_view_img" in z:  # checkpoints from before guided rescue lack it
+            self.tracks = TrackTable(
+                view_img=z["track_view_img"].copy(),
+                view_kp=z["track_view_kp"].copy(),
+                view_xy=z["track_view_xy"].copy(),
+                length=z["track_length"].copy(),
+                kp_track=z["track_kp_track"].copy(),
+            )
 
     def save_reconstruction(self, out_dir):
         """Write poses.json / points3D.json / reconstruction.ply (C17 parity,

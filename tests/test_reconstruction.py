@@ -232,6 +232,40 @@ class TestCheckpoint:
         res = sfm2.run_reconstruction()
         assert res.stats["num_cameras"] >= 6
 
+    def test_checkpoint_preserves_guided_track_extensions(self, scene, pair_table, tmp_path):
+        """Guided registration extends the track table; a checkpoint saved
+        after it must restore those observations (a fresh table + the saved
+        view_valid would fabricate image-0 observations in BA)."""
+        import dataclasses as dc
+
+        victim = 7
+        keep = ~((pair_table.pairs[:, 0] == victim) | (pair_table.pairs[:, 1] == victim))
+        cut = dc.replace(pair_table, accept=pair_table.accept & keep)
+        cfg = SfMConfig(
+            pnp=PnPConfig(ransac_iters=512, guided_iters=2048),
+            ba=BAConfig(max_iterations=8, cg_iters=25, optimize_intrinsics=False),
+            verify=VerifyConfig(rescue_disconnected=False),
+        )
+        sfm = StructureFromMotion(cut, scene["xy"], cfg,
+                                  desc=scene["desc"], feat_valid=scene["valid"])
+        sfm.run_reconstruction()
+        assert sfm.registered[victim]  # guided placed it
+        ext = (sfm.tracks.view_img == victim).any()
+        assert ext  # and extended tracks with its observations
+        sfm.save_checkpoint(tmp_path / "g.npz")
+
+        sfm2 = StructureFromMotion(cut, scene["xy"], cfg,
+                                   desc=scene["desc"], feat_valid=scene["valid"])
+        sfm2.load_checkpoint(tmp_path / "g.npz")
+        np.testing.assert_array_equal(sfm.tracks.view_img, sfm2.tracks.view_img)
+        np.testing.assert_array_equal(sfm.view_valid, sfm2.view_valid)
+        # The restored state's observation table must contain no slot whose
+        # validity is set but whose image is unset.
+        bogus = sfm2.view_valid & (sfm2.tracks.view_img < 0)
+        assert not bogus.any()
+        stats = sfm2.compute_stats()
+        assert stats["num_cameras"] == int(sfm.registered.sum())
+
     def test_periodic_checkpoints_written(self, scene, pair_table, tmp_path):
         from sfm_tpu.config import SfMConfig, PnPConfig, BAConfig
 
