@@ -23,7 +23,7 @@ Array conventions used throughout:
     jit-compilable with static shapes.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 import os as _os
 
