@@ -106,3 +106,32 @@ class TestPipeline:
         assert a.num_images == 10
         with pytest.raises(SystemExit):
             parse_args(["bogus"])
+
+
+class TestCliEntrypoints:
+    def test_module_help(self):
+        """`python -m sfm_tpu` must parse args standalone (catches import
+        and argparse regressions the API tests can't)."""
+        import subprocess, sys, os
+
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        r = subprocess.run(
+            [sys.executable, "-m", "sfm_tpu", "--help"],
+            capture_output=True, text=True, timeout=120, env=env,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        assert r.returncode == 0
+        for cmd in ("preprocess", "reconstruct", "pipeline"):
+            assert cmd in r.stdout
+
+    def test_bad_args_exit_code(self):
+        import subprocess, sys, os
+
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        r = subprocess.run(
+            [sys.executable, "-m", "sfm_tpu", "reconstruct",
+             "--data_dir", "/nonexistent_dir_xyz"],
+            capture_output=True, text=True, timeout=180, env=env, cwd=root,
+        )
+        assert r.returncode == 2  # FileNotFoundError -> 2 (ref exit-code map)
