@@ -82,6 +82,12 @@ class VerifyConfig:
     rescue_disconnected: bool = True   # re-admit the best sub-gate pair of an
                                        # otherwise pairless image (the ref
                                        # just loses such cameras)
+    rescue_min_inliers: int = 8        # relaxed gates for that re-admission;
+    rescue_min_ratio: float = 0.15     # the sweeps ALSO use rescue_min_inliers
+                                       # to decide which rejected rows keep
+                                       # their per-match artifacts, so rescue
+                                       # and artifact retention stay coupled
+                                       # through this one knob
 
 
 @dataclasses.dataclass(frozen=True)

@@ -90,6 +90,10 @@ def rescue_disconnected(table: PairTable, num_images: int,
     shipped CSV). For each disconnected image, re-admit its best pair under
     relaxed gates; downstream PnP/BA/pruning contain the extra risk. Returns
     the number of rescued pairs. Mutates ``table.accept`` in place.
+
+    The defaults mirror VerifyConfig.rescue_min_inliers / rescue_min_ratio —
+    pass those fields explicitly (as the engine does) so the sweeps'
+    artifact-retention rule and this gate stay in sync.
     """
     deg = np.zeros(num_images, np.int64)
     for p in table.accepted():
@@ -154,6 +158,7 @@ def all_pairs_sweep(
     Pads the pair list to a multiple of ``chunk_size`` so exactly one program
     is compiled regardless of P.
     """
+    xy_host = xy if isinstance(xy, np.ndarray) else None
     xy = jnp.asarray(xy)
     desc = jnp.asarray(desc)
     valid = jnp.asarray(valid)
@@ -196,9 +201,13 @@ def all_pairs_sweep(
 
     # Phase 2: per-match arrays only for rows any consumer can read — the
     # accepted pairs (tracks, selector, artifacts) plus rescue-eligible
-    # rejected pairs (rescue_disconnected re-admits rows with >= 8 inliers).
+    # rejected pairs (rescue_disconnected re-admits rows meeting
+    # VerifyConfig.rescue_min_inliers — one knob governs both sides).
     # Everything else downloads as zeros for free. Bools travel bit-packed.
-    keep = np.nonzero(summary["accept"] | (summary["num_inliers"] >= 8))[0]
+    keep_mask = summary["accept"].copy()
+    if config.verify.rescue_disconnected:
+        keep_mask |= summary["num_inliers"] >= config.verify.rescue_min_inliers
+    keep = np.nonzero(keep_mask)[0]
     M = merged_dev["match_valid"].shape[1]
     idx_dtype = np.int16 if int16_ok else np.int32
     idx1 = np.zeros((P, M), idx_dtype)
@@ -218,7 +227,10 @@ def all_pairs_sweep(
         match_valid[keep] = np.unpackbits(picked["match_valid"], axis=-1, count=M)
         inliers[keep] = np.unpackbits(picked["inliers"], axis=-1, count=M)
 
-    xy_h = np.asarray(xy)
+    # Keypoint coords came from host in the common path — reuse that copy
+    # instead of pulling the device array back in one unchunked transfer.
+    xy_h = xy_host if xy_host is not None else device_get_chunked(xy)
+    xy_h = np.asarray(xy_h, np.float32)
     mv = match_valid[..., None]
     xy1 = xy_h[pairs[:, 0][:, None], idx1.astype(np.int64)] * mv
     xy2 = xy_h[pairs[:, 1][:, None], idx2.astype(np.int64)] * mv

@@ -48,6 +48,7 @@ class SfMPipeline:
         self._setup_directories()
         self.matcher = None
         self.result = None
+        self._desc_host = None
         self.metrics = Metrics()
 
     def _maybe_trace(self):
@@ -106,19 +107,28 @@ class SfMPipeline:
                 self.matcher.save_results()
             self.metrics.log("pairs/accepted", int(len(self.matcher.table.accepted())))
             import numpy as np
+            import jax.numpy as jnp
+            from sfm_tpu.utils.transfer import device_get_chunked
 
             # Descriptors enable guided (2D-3D localization) registration in
             # the reconstruct stage; persisted fp16 with a size guard so the
             # stage-boundary artifact stays reasonable at 1000-image scale.
-            desc = np.asarray(self.matcher.features["desc"], np.float16)
+            # Size-check BEFORE transferring (skip the download entirely when
+            # the guard would drop it), cast to fp16 on device (halves the
+            # bytes over the slow tunnel), and fetch chunked — the tunnel's
+            # device->host path collapses above ~2 MB per transfer.
             blob = {
                 "table": self.matcher.table,
                 "xy": self.matcher.features["xy"],
                 "valid": self.matcher.features["valid"],
                 "image_paths": [str(p) for p in self.matcher.image_paths],
             }
-            if desc.nbytes <= 512 * 1024 * 1024:
-                blob["desc"] = desc
+            desc_d = self.matcher.features["desc"]
+            if 2 * int(np.prod(desc_d.shape)) <= 512 * 1024 * 1024:
+                self._desc_host = device_get_chunked(desc_d.astype(jnp.float16))
+                blob["desc"] = self._desc_host
+            else:
+                self._desc_host = None  # guided registration off at this scale
             with (self.output_dir / "pair_table.pkl").open("wb") as f:
                 pickle.dump(blob, f)
             if len(self.matcher.table.accepted()):
@@ -154,7 +164,10 @@ class SfMPipeline:
             if self.matcher is not None and self.matcher.table is not None:
                 table = self.matcher.table
                 xy = self.matcher.features["xy"]
-                desc = self.matcher.features["desc"]
+                # Host fp16 copy made at stage-1 exit (None when the size
+                # guard skipped it) — never the raw device array, which the
+                # engine would pull down in one giant transfer.
+                desc = getattr(self, "_desc_host", None)
                 feat_valid = self.matcher.features["valid"]
             else:
                 blob = pickle.loads((self.output_dir / "pair_table.pkl").read_bytes())

@@ -180,7 +180,10 @@ class StructureFromMotion:
         if config.verify.rescue_disconnected:
             from sfm_tpu.matching.sweep import rescue_disconnected
 
-            n_rescued = rescue_disconnected(table, self.num_images)
+            n_rescued = rescue_disconnected(
+                table, self.num_images,
+                min_inliers=config.verify.rescue_min_inliers,
+                min_ratio=config.verify.rescue_min_ratio)
             if n_rescued:
                 logger.info("rescued %d sub-gate pairs for pairless images", n_rescued)
         self.selector = SfMGraphSelector.from_pair_table(table, select=config.select)

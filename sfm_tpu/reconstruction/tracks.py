@@ -1,15 +1,21 @@
-"""Multi-view feature tracks via union-find over verified pair inliers.
+"""Multi-view feature tracks via connected components over verified pair inliers.
 
 The reference never merges tracks: every track is exactly the 2 views of the
 pair that created it (confirmed across all 2,555 shipped points — SURVEY.md
 C15), because it re-associates observations by a 2-pixel distance test
 (ref sfm_reconstruction.py:209-218) instead of by feature identity. Here
 tracks are built once, from feature identity: every inlier match (img_i, kp_a)
-~ (img_j, kp_b) of every accepted pair is a union-find merge. Tracks with two
+~ (img_j, kp_b) of every accepted pair is an edge in a graph over (image,
+keypoint) nodes; tracks are its connected components. Tracks with two
 different keypoints in the same image are inconsistent and dropped (the
 standard SfM treatment). The result is a padded (T, V) observation table that
 the whole incremental engine — PnP gathers, multi-view triangulation, BA
 observation lists — reads with plain array indexing.
+
+The build is fully vectorized (numpy edge extraction + scipy.sparse.csgraph
+connected components + sort/group bookkeeping): at 1000 images / ~500k
+accepted pairs the per-match Python loop this replaces took minutes of
+GIL-bound work; this path is seconds.
 """
 from __future__ import annotations
 
@@ -46,22 +52,14 @@ class TrackTable:
         return self.view_img[t, :n]
 
 
-class _UnionFind:
-    def __init__(self, n: int):
-        self.parent = np.arange(n, dtype=np.int64)
-
-    def find(self, x: int) -> int:
-        root = x
-        while self.parent[root] != root:
-            root = self.parent[root]
-        while self.parent[x] != root:
-            self.parent[x], x = root, self.parent[x]
-        return root
-
-    def union(self, a: int, b: int):
-        ra, rb = self.find(a), self.find(b)
-        if ra != rb:
-            self.parent[rb] = ra
+def _empty_table(N: int, K: int, V: int) -> TrackTable:
+    return TrackTable(
+        view_img=np.full((0, V), -1, np.int32),
+        view_kp=np.full((0, V), -1, np.int32),
+        view_xy=np.zeros((0, V, 2), np.float32),
+        length=np.zeros(0, np.int32),
+        kp_track=np.full((N, K), -1, np.int32),
+    )
 
 
 def build_tracks(table, xy, num_images: int, max_views: int | None = None) -> TrackTable:
@@ -70,52 +68,77 @@ def build_tracks(table, xy, num_images: int, max_views: int | None = None) -> Tr
     table: matching.PairTable; xy: (N, K, 2) keypoint pixel coords.
     Only *inlier* matches of *accepted* pairs contribute.
     """
+    import scipy.sparse as sp
+    from scipy.sparse.csgraph import connected_components
+
+    xy = np.asarray(xy)
     N, K = xy.shape[:2]
-    uf = _UnionFind(N * K)
+    rows = table.accepted()
+    if len(rows) == 0:
+        return _empty_table(N, K, max_views or 2)
 
-    for p in table.accepted():
-        i, j = table.pairs[p]
-        inl = table.inliers[p] & table.match_valid[p]
-        for a, b in zip(table.idx1[p][inl], table.idx2[p][inl]):
-            uf.union(int(i) * K + int(a), int(j) * K + int(b))
+    # Edge list over flat (image, keypoint) node ids, one edge per inlier
+    # match of every accepted pair — all pairs at once, no Python loop.
+    inl = table.inliers[rows] & table.match_valid[rows]          # (R, M)
+    i = table.pairs[rows, 0].astype(np.int64)
+    j = table.pairs[rows, 1].astype(np.int64)
+    ea = (i[:, None] * K + table.idx1[rows].astype(np.int64))[inl]
+    eb = (j[:, None] * K + table.idx2[rows].astype(np.int64))[inl]
+    if len(ea) == 0:
+        return _empty_table(N, K, max_views or 2)
 
-    # Collect components over nodes that were actually matched.
-    touched = set()
-    for p in table.accepted():
-        i, j = table.pairs[p]
-        inl = table.inliers[p] & table.match_valid[p]
-        touched.update(int(i) * K + int(a) for a in table.idx1[p][inl])
-        touched.update(int(j) * K + int(b) for b in table.idx2[p][inl])
+    # Compact the touched nodes and run union-find as sparse CC (C speed).
+    nodes, inv = np.unique(np.concatenate([ea, eb]), return_inverse=True)
+    n = len(nodes)
+    g = sp.coo_matrix(
+        (np.ones(len(ea), np.int8), (inv[: len(ea)], inv[len(ea):])),
+        shape=(n, n),
+    )
+    ncomp, label = connected_components(g, directed=False)
 
-    comps: dict[int, list[int]] = {}
-    for node in touched:
-        comps.setdefault(uf.find(node), []).append(node)
+    imgs = nodes // K
+    # Inconsistent components: two nodes sharing an image (after sorting by
+    # (label, img), any adjacent duplicate image within a label flags it).
+    order_li = np.lexsort((imgs, label))
+    ls, is_ = label[order_li], imgs[order_li]
+    dup = (ls[1:] == ls[:-1]) & (is_[1:] == is_[:-1])
+    bad = np.zeros(ncomp, bool)
+    bad[ls[1:][dup]] = True
 
-    # Filter: >= 2 views, consistent (one keypoint per image).
-    tracks = []
-    for nodes in comps.values():
-        imgs = [n // K for n in nodes]
-        if len(nodes) < 2 or len(set(imgs)) != len(imgs):
-            continue
-        nodes.sort()
-        tracks.append(nodes)
-    tracks.sort(key=len, reverse=True)
+    size = np.bincount(label, minlength=ncomp)
+    keep_ids = np.nonzero((size >= 2) & ~bad)[0]
+    if len(keep_ids) == 0:
+        return _empty_table(N, K, max_views or 2)
 
-    V = max_views or (max(len(t) for t in tracks) if tracks else 2)
-    T = len(tracks)
+    # Track order: longest first (stable for ties).
+    track_order = keep_ids[np.argsort(-size[keep_ids], kind="stable")]
+    T = len(track_order)
+    track_of_comp = np.full(ncomp, -1, np.int64)
+    track_of_comp[track_order] = np.arange(T)
+    V = max_views or int(size[track_order[0]])
+
+    # Observation slots: nodes sorted by (label, node id) — node id order
+    # within a track = (image, keypoint) order, matching the engine's
+    # expectations; slot v = position within the component, capped at V.
+    order_ln = np.lexsort((nodes, label))
+    ls2 = label[order_ln]
+    starts = np.r_[0, np.nonzero(ls2[1:] != ls2[:-1])[0] + 1]
+    counts = np.diff(np.r_[starts, n])
+    pos = np.arange(n) - np.repeat(starts, counts)
+    t_of = track_of_comp[ls2]
+    sel = (t_of >= 0) & (pos < V)
+    tt = t_of[sel]
+    vv = pos[sel]
+    nd = nodes[order_ln][sel]
+    img, kp = (nd // K).astype(np.int64), (nd % K).astype(np.int64)
+
     view_img = np.full((T, V), -1, np.int32)
     view_kp = np.full((T, V), -1, np.int32)
     view_xy = np.zeros((T, V, 2), np.float32)
-    length = np.zeros(T, np.int32)
+    view_img[tt, vv] = img
+    view_kp[tt, vv] = kp
+    view_xy[tt, vv] = xy[img, kp]
+    length = np.minimum(size[track_order], V).astype(np.int32)
     kp_track = np.full((N, K), -1, np.int32)
-
-    for t, nodes in enumerate(tracks):
-        nodes = nodes[:V]
-        length[t] = len(nodes)
-        for v, node in enumerate(nodes):
-            img, kp = node // K, node % K
-            view_img[t, v] = img
-            view_kp[t, v] = kp
-            view_xy[t, v] = xy[img, kp]
-            kp_track[img, kp] = t
+    kp_track[img, kp] = tt
     return TrackTable(view_img, view_kp, view_xy, length, kp_track)

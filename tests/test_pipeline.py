@@ -69,6 +69,33 @@ class TestPipeline:
         assert len(csv) >= 2  # header + at least one verified pair
         assert csv[0].startswith("image1,image2,num_matches")
 
+    def test_stage1_exit_descriptor_transfer_is_chunked(self, dataset, tmp_path,
+                                                        monkeypatch):
+        """Round-2 verdict weak #2: the stage-1 exit pulled the full f32
+        descriptor stack device->host in ONE transfer (np.asarray on the
+        device array) before the size guard. It must instead cast to fp16 on
+        device and fetch via device_get_chunked — the raw f32 device array
+        must never be converted directly."""
+        import jax.numpy as jnp
+
+        impl = type(jnp.zeros(1))
+        orig = impl.__array__
+        directly_converted = []
+
+        def spy(self, *a, **k):
+            directly_converted.append(id(self))
+            return orig(self, *a, **k)
+
+        monkeypatch.setattr(impl, "__array__", spy)
+        pipe = SfMPipeline(
+            PipelineArgs(data_dir=str(dataset), output_dir=str(tmp_path)), CFG
+        )
+        assert pipe.run_preprocessing()
+        desc_dev = pipe.matcher.features["desc"]
+        assert id(desc_dev) not in directly_converted
+        assert pipe._desc_host is not None
+        assert pipe._desc_host.dtype == np.float16
+
     def test_reconstruct_from_saved_artifacts(self, dataset, tmp_path):
         """Stage separation: reconstruct must run from disk artifacts alone
         (SURVEY.md section 1 — the on-disk handoff is the checkpoint)."""
