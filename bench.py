@@ -100,47 +100,68 @@ def bench_ba(n_cams=100, n_pts=20000, obs_per_cam=2000, lm_iters=10):
     return iters / dt, float(stats["rms_px"])
 
 
-def matcher_mfu():
+def matcher_mfu(k_list=(2048, 8192, 16384)):
     """Matcher FLOP-rate report: XLA min-pass path vs the Pallas fused top-2
-    kernel at the production shape (K=2048, D=128, 32-pair chunk), as model
-    FLOPs utilization against the v5e peak. Prints ONE JSON line."""
+    kernel across keypoint budgets (the reference runs up to 10k ORB features,
+    ref find_matches.py:110 — K >= 8k is a real regime, not hypothetical).
+    Per-pair batch shrinks with K so the XLA path's (K, K) distance tile
+    fits HBM. Prints ONE JSON line with the per-K table and the measured
+    crossover (if any)."""
     import jax
     import jax.numpy as jnp
     from sfm_tpu.matching.core import _match_descriptors
 
     PEAK_F32 = 49e12  # v5e MXU, f32 accumulate
-    K, D, B = 2048, 128, 32
+    D = 128
     rng = np.random.default_rng(0)
-    d = rng.normal(size=(B, 2, K, D)).astype(np.float32)
-    d /= np.linalg.norm(d, axis=-1, keepdims=True)
-    d = jnp.asarray(d)
-    v = jnp.asarray(np.ones((B, K), bool))
-    # 2 matmuls per pair (forward + mutual back-check).
-    flops = 2 * (2 * K * K * D) * B
+    table = {}
+    crossover = None
+    for K in k_list:
+        B = max(1, (2048 * 32) // K // max(K // 2048, 1))  # bound B*K^2
+        d = rng.normal(size=(B, 2, K, D)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        d = jnp.asarray(d)
+        v = jnp.asarray(np.ones((B, K), bool))
+        flops = 2 * (2 * K * K * D) * B  # fwd + mutual back-check matmuls
 
-    out = {}
-    for name, use_pallas in (("xla", False), ("pallas", True)):
-        fn = jax.jit(jax.vmap(
-            lambda a, b, vb: _match_descriptors(
-                a, vb, b, vb, max_matches=1024, use_pallas=use_pallas)
-        ))
-        for _ in range(2):
-            r = fn(d[:, 0], d[:, 1], v)
-            float(jnp.sum(r["distance"]))
-        times = []
-        for _ in range(3):
-            t0 = time.time()
-            r = fn(d[:, 0], d[:, 1], v)
-            float(jnp.sum(r["distance"]))
-            times.append(time.time() - t0)
-        dt = float(np.median(times))
-        out[name] = {
-            "ms_per_chunk32": round(dt * 1e3, 1),
-            "gflops": round(flops / dt / 1e9, 1),
-            "mfu_pct": round(100 * flops / dt / PEAK_F32, 1),
-        }
-    out["winner"] = "xla" if out["xla"]["ms_per_chunk32"] <= out["pallas"]["ms_per_chunk32"] else "pallas"
-    print(json.dumps({"metric": "matcher_mfu", "shape": f"K={K} D={D} B={B}", **out}))
+        row = {"B": B}
+        for name, use_pallas in (("xla", False), ("pallas", True)):
+            fn = jax.jit(jax.vmap(
+                lambda a, b, vb: _match_descriptors(
+                    a, vb, b, vb, max_matches=1024, use_pallas=use_pallas)
+            ))
+            try:
+                for _ in range(2):
+                    r = fn(d[:, 0], d[:, 1], v)
+                    float(jnp.sum(r["distance"]))
+                times = []
+                for _ in range(3):
+                    t0 = time.time()
+                    r = fn(d[:, 0], d[:, 1], v)
+                    float(jnp.sum(r["distance"]))
+                    times.append(time.time() - t0)
+                dt = float(np.median(times))
+                row[name] = {
+                    "ms_per_pair": round(dt * 1e3 / B, 2),
+                    "gflops": round(flops / dt / 1e9, 1),
+                    "mfu_pct": round(100 * flops / dt / PEAK_F32, 1),
+                }
+            except Exception as e:  # OOM at large K is a result, not a crash
+                row[name] = {"error": type(e).__name__}
+        if "ms_per_pair" in row.get("xla", {}) and "ms_per_pair" in row.get("pallas", {}):
+            row["winner"] = (
+                "xla" if row["xla"]["ms_per_pair"] <= row["pallas"]["ms_per_pair"]
+                else "pallas"
+            )
+        elif "ms_per_pair" in row.get("pallas", {}):
+            row["winner"] = "pallas"  # XLA path failed (distance tile OOM)
+        if crossover is None and row.get("winner") == "pallas":
+            crossover = K
+        table[f"K{K}"] = row
+    print(json.dumps({
+        "metric": "matcher_mfu", "D": D, "pallas_crossover_K": crossover,
+        **table,
+    }))
 
 
 def main():
@@ -201,6 +222,9 @@ def main():
     accepted = int(np.sum(np.concatenate([np.asarray(o["accept"]) for o in outs])[:P]))
 
     ba_ips, ba_rms = bench_ba()
+    # The scalable (PCG) path at the regime large scenes actually use —
+    # driver-tracked so regressions there are visible (round-2 verdict #5).
+    ba256_ips, ba256_rms = bench_ba(n_cams=256, n_pts=20000, obs_per_cam=1500)
 
     baseline_file = ROOT / "BASELINE_MEASURED.json"
     if baseline_file.exists():
@@ -224,6 +248,9 @@ def main():
                     "ba_lm_iters_per_sec": round(ba_ips, 2),
                     "ba_bench_rms_px": round(ba_rms, 3),
                     "ba_bench_size": "100 cams / 20k pts / 200k obs",
+                    "ba256_lm_iters_per_sec": round(ba256_ips, 2),
+                    "ba256_bench_rms_px": round(ba256_rms, 3),
+                    "ba256_bench_size": "256 cams / 20k pts / 384k obs",
                 },
             }
         )

@@ -130,7 +130,9 @@ def run_ba_blocked(
             c = c + 0.5 * jnp.sum(r_reg**2)
         return c
 
-    def lm_step(rvec, tvec, intr, points, lam):
+    def make_lin(rvec, tvec, intr, points):
+        """Lambda-independent linearization — recomputed ONLY on accepted
+        steps (rejected steps reuse these blocks; round-2 verdict weak #3)."""
         r, Jc, Jk, Jp = linearize(rvec, tvec, intr, points)
         w = huber_weights(r, config.huber_delta)            # (P, V)
         if optimize_intrinsics:
@@ -149,32 +151,41 @@ def run_ba_blocked(
 
         # Point blocks: DENSE axis-1 reductions (no scatter anywhere).
         Vb = jnp.einsum("pvci,pvcj->pij", Jp, Jp)           # (P, 3, 3)
-        diagV = jnp.diagonal(Vb, axis1=-2, axis2=-1)
-        Vd = Vb + (lam * diagV + _EPS)[..., None] * jnp.eye(3)
-        Vinv = jnp.linalg.inv(Vd)
-        Vinv = jnp.where(problem.point_valid[:, None, None], Vinv, 0.0)
-
         U = cam_reduce(
             jnp.einsum("pvci,pvcj->pvij", Jc, Jc).reshape(P, V, 36)
         ).reshape(C, 6, 6)
-        diagU = jnp.diagonal(U, axis1=-2, axis2=-1)
-        lam_diag_c = lam * diagU
-        unit_c = (jnp.sum(diagU, axis=-1) <= _EPS).astype(jnp.float32)
         Uk = jnp.einsum("pvci,pvcj->ij", Jk, Jk) + Hreg
-        lam_diag_k = lam * jnp.diagonal(Uk) + _EPS
-
-        Ud = U + lam_diag_c[..., None] * jnp.eye(6) + unit_c[:, None, None] * jnp.eye(6)
-        Mc = jnp.linalg.inv(Ud + _EPS * jnp.eye(6))
-        Mk = jnp.linalg.inv(Uk + jnp.diag(lam_diag_k) + _EPS * jnp.eye(4))
 
         g_c = cam_reduce(jnp.einsum("pvci,pvc->pvi", Jc, rw))
-        g_k = jnp.einsum("pvci,pvc->i", Jk, rw)
+        g_k = jnp.einsum("pvci,pvc->i", Jk, rw) + greg
         g_p = jnp.einsum("pvci,pvc->pi", Jp, rw)            # dense
+        return dict(Jc=Jc, Jk=Jk, Jp=Jp, Vb=Vb, U=U, Uk=Uk, Hreg=Hreg,
+                    g_c=g_c, g_k=g_k, g_p=g_p)
+
+    def lm_solve(lin, lam):
+        """Per-lambda work on the cached linearization: damp + PCG."""
+        Jc, Jk, Jp = lin["Jc"], lin["Jk"], lin["Jp"]
+        Hreg = lin["Hreg"]
+        g_p = lin["g_p"]
+
+        diagV = jnp.diagonal(lin["Vb"], axis1=-2, axis2=-1)
+        Vd = lin["Vb"] + (lam * diagV + _EPS)[..., None] * jnp.eye(3)
+        Vinv = jnp.linalg.inv(Vd)
+        Vinv = jnp.where(problem.point_valid[:, None, None], Vinv, 0.0)
+
+        diagU = jnp.diagonal(lin["U"], axis1=-2, axis2=-1)
+        lam_diag_c = lam * diagU
+        unit_c = (jnp.sum(diagU, axis=-1) <= _EPS).astype(jnp.float32)
+        lam_diag_k = lam * jnp.diagonal(lin["Uk"]) + _EPS
+
+        Ud = lin["U"] + lam_diag_c[..., None] * jnp.eye(6) + unit_c[:, None, None] * jnp.eye(6)
+        Mc = jnp.linalg.inv(Ud + _EPS * jnp.eye(6))
+        Mk = jnp.linalg.inv(lin["Uk"] + jnp.diag(lam_diag_k) + _EPS * jnp.eye(4))
 
         h_p = jnp.einsum("pij,pj->pi", Vinv, g_p)
         y = jnp.einsum("pvci,pi->pvc", Jp, h_p)
-        rhs_c = -g_c + cam_reduce(jnp.einsum("pvci,pvc->pvi", Jc, y))
-        rhs_k = -g_k + jnp.einsum("pvci,pvc->i", Jk, y) - greg
+        rhs_c = -lin["g_c"] + cam_reduce(jnp.einsum("pvci,pvc->pvi", Jc, y))
+        rhs_k = -lin["g_k"] + jnp.einsum("pvci,pvc->i", Jk, y)
 
         def matvec(xc, xk):
             a = jnp.einsum("pvci,pvi->pvc", Jc, xc[problem.obs_cam]) + jnp.einsum(
@@ -243,8 +254,8 @@ def run_ba_blocked(
         return (it < config.max_iterations) & ~done
 
     def body(state):
-        it, done, rvec, tvec, intr, points, lam, cost, n_acc = state
-        xc, xk, dp = lm_step(rvec, tvec, intr, points, lam)
+        it, done, rvec, tvec, intr, points, lam, cost, n_acc, lin = state
+        xc, xk, dp = lm_solve(lin, lam)
         rvec_n = rvec + xc[:, :3]
         tvec_n = tvec + xc[:, 3:]
         intr_n = intr + xk
@@ -259,19 +270,26 @@ def run_ba_blocked(
             jnp.minimum(lam * config.lambda_up, config.max_lambda),
         )
         pick = lambda a, b: jnp.where(accept, a, b)
+        lin_n = jax.lax.cond(
+            accept,
+            lambda: make_lin(rvec_n, tvec_n, intr_n, points_n),
+            lambda: lin,
+        )
         return (
             it + 1, done_n,
             pick(rvec_n, rvec), pick(tvec_n, tvec),
             pick(intr_n, intr), pick(points_n, points),
             lam_n, pick(new_cost, cost), n_acc + accept.astype(jnp.int32),
+            lin_n,
         )
 
     state = (
         jnp.int32(0), jnp.array(False),
         problem.rvec, problem.tvec, problem.intr, problem.points,
         jnp.float32(config.init_lambda), init_cost, jnp.int32(0),
+        make_lin(problem.rvec, problem.tvec, problem.intr, problem.points),
     )
-    it, _, rvec, tvec, intr, points, lam, cost, n_acc = jax.lax.while_loop(
+    it, _, rvec, tvec, intr, points, lam, cost, n_acc, _ = jax.lax.while_loop(
         cond, body, state
     )
     out = problem._replace(rvec=rvec, tvec=tvec, intr=intr, points=points)

@@ -31,6 +31,9 @@ class BAProblem(NamedTuple):
     obs_point: jnp.ndarray   # (O,) int32
     obs_xy: jnp.ndarray      # (O, 2) pixels
     obs_valid: jnp.ndarray   # (O,) bool
+    intr_c: jnp.ndarray = None  # (C, 4) per-camera intrinsics — populated
+                                # only in BAConfig.per_camera_intrinsics mode
+                                # (ref parameterizes 10/camera, :415-427)
 
     @property
     def num_cameras(self) -> int:

@@ -54,6 +54,27 @@ def residuals_and_jacobians(problem_arrays):
     return r, J_c, J_k, J_p
 
 
+def _res_packed10(camp, point, xy):
+    return residual_one(camp[:3], camp[3:6], camp[6:10], point, xy)
+
+
+_jac10 = jax.jacrev(_res_packed10, argnums=(0, 1))
+
+
+def residuals_and_jacobians_percam(problem_arrays):
+    """Per-camera-intrinsics variant: the camera block is 10 parameters
+    (rvec, t, fx, fy, cx, cy) — the reference's parameterization
+    (ref sfm_reconstruction.py:415-427). Returns r (O,2), J_c (O,2,10),
+    J_p (O,2,3); there is no separate shared-intrinsics Jacobian."""
+    rvec, tvec, intr_c, points, obs_cam, obs_point, obs_xy = problem_arrays
+    camp = jnp.concatenate([rvec, tvec, intr_c], axis=-1)  # (C, 10)
+    cam_o = camp[obs_cam]
+    pt_o = points[obs_point]
+    r = jax.vmap(_res_packed10)(cam_o, pt_o, obs_xy)
+    J_c, J_p = jax.vmap(_jac10)(cam_o, pt_o, obs_xy)
+    return r, J_c, J_p
+
+
 def huber_weights(r, delta: float):
     """IRLS weights for the Huber loss on the 2-norm of each residual.
 

@@ -181,6 +181,16 @@ class BAConfig:
                                        # - the S build is 6C+4 batched
                                        # matvecs, quadratic in C)
     optimize_intrinsics: bool = True   # shared fx,fy,cx,cy (ref: per-cam then mean)
+    per_camera_intrinsics: bool = False  # optimize fx,fy,cx,cy PER CAMERA
+                                       # (10 params/cam, the reference's
+                                       # parameterization, ref :415-427) with
+                                       # the same per-camera regularization;
+                                       # the shared K is refreshed to the
+                                       # valid-camera mean after the solve
+                                       # (ref :532-538). Needed for
+                                       # multi-camera datasets; the shared
+                                       # default is better-posed when one
+                                       # physical camera took every image
     intrinsics_reg_weight: float = 0.1 # ref regularization weight (:498)
     frequency: int = 7                 # run BA every k registrations (ref :19)
     local_window: int = 0              # >0: periodic BAs optimize only the

@@ -133,6 +133,30 @@ def _reproj_stats(view_img, view_xy, view_valid, rvec, tvec, registered, K, poin
     return jnp.where(use, err, 0.0), use
 
 
+def _pick_diverse_two(d, ok):
+    """Pick <=2 observations per track maximizing camera angular spread.
+
+    d: (T, V, 3) unit directions point -> camera center; ok: (T, V) validity.
+    Approximate farthest-point pick, fully vectorized: v1 = direction least
+    aligned with the track's mean direction, v2 = direction least aligned
+    with v1. Returns a (T, V) bool pick mask (subset of ok).
+    """
+    T, V = ok.shape
+    dm = np.where(ok[..., None], d, 0.0)
+    cnt = ok.sum(1)
+    mean = dm.sum(1) / np.maximum(cnt, 1)[:, None]            # (T, 3)
+    dot1 = np.where(ok, np.einsum("tvk,tk->tv", dm, mean), np.inf)
+    v1 = np.argmin(dot1, axis=1)
+    d1 = dm[np.arange(T), v1]
+    dot2 = np.where(ok, np.einsum("tvk,tk->tv", dm, d1), np.inf)
+    dot2[np.arange(T), v1] = np.inf
+    v2 = np.argmin(dot2, axis=1)
+    pick = np.zeros_like(ok)
+    pick[np.arange(T), v1] = True
+    pick[np.arange(T), v2] = cnt >= 2
+    return pick & ok
+
+
 @dataclasses.dataclass
 class ReconstructionResult:
     """Final scene: poses, cloud, per-track observations, stats (C17 parity)."""
@@ -402,7 +426,14 @@ class StructureFromMotion:
 
     def _model_pool(self):
         """Observation descriptors of the triangulated model: up to 2 per
-        track (more are near-duplicates), capped at pnp.guided_pool."""
+        track, chosen for VIEWPOINT DIVERSITY — the pair of observations
+        whose cameras subtend the widest angle at the point (approximate
+        farthest-point pick). First-2 selection biased the pool toward the
+        earliest-registered cameras (round-2 verdict weak #6); loop-closure
+        rescues need the model's viewpoints covered, not just its geometry.
+        Capped at pnp.guided_pool."""
+        from scipy.spatial.transform import Rotation
+
         tr = self.tracks
         img = tr.view_img
         ok = (
@@ -411,7 +442,12 @@ class StructureFromMotion:
             & self.point_valid[:, None]
             & self.registered[np.clip(img, 0, self.num_images - 1)]
         )
-        pick = ok & (np.cumsum(ok, axis=1) <= 2)
+        R = Rotation.from_rotvec(self.rvec).as_matrix()        # (C, 3, 3)
+        centers = -np.einsum("cji,cj->ci", R, self.tvec)       # -R^T t
+        imgc = np.clip(img, 0, self.num_images - 1)
+        d = centers[imgc] - self.points[:, None, :]            # (T, V, 3)
+        d = d / np.maximum(np.linalg.norm(d, axis=-1, keepdims=True), 1e-9)
+        pick = _pick_diverse_two(d, ok)
         t_ids, v_ids = np.nonzero(pick)
         cap = self.config.pnp.guided_pool
         if len(t_ids) > cap:

@@ -210,6 +210,120 @@ class TestGuidedRegistration:
         assert ang < 2.0
 
 
+class TestDiversePool:
+    def test_pick_diverse_two_prefers_wide_baseline(self):
+        """_pick_diverse_two must select the observation pair with the widest
+        angular spread, not the first two slots."""
+        from sfm_tpu.reconstruction.incremental import _pick_diverse_two
+
+        # One track, 4 observations at bearings 0, 10, 20, 170 degrees.
+        ang = np.radians([0.0, 10.0, 20.0, 170.0])
+        d = np.stack([np.cos(ang), np.sin(ang), np.zeros(4)], -1)[None]
+        ok = np.ones((1, 4), bool)
+        pick = _pick_diverse_two(d, ok)
+        assert pick.sum() == 2
+        chosen = np.nonzero(pick[0])[0]
+        assert 3 in chosen                 # the 170-degree outlier is in
+        assert set(chosen) != {0, 1}       # first-2 would have picked these
+
+    def test_single_observation_track(self):
+        from sfm_tpu.reconstruction.incremental import _pick_diverse_two
+
+        d = np.zeros((2, 3, 3))
+        d[0, 1] = [1, 0, 0]
+        ok = np.zeros((2, 3), bool)
+        ok[0, 1] = True                    # track 0: one obs; track 1: none
+        pick = _pick_diverse_two(d, ok)
+        assert pick[0].sum() == 1 and pick[0, 1]
+        assert pick[1].sum() == 0
+
+    def test_loop_closure_rescue_needs_diverse_pool(self, rng):
+        """Round-2 verdict weak #6 'done' criterion: a loop-closure rescue
+        that FAILS with the old first-2 pool and SUCCEEDS with the
+        viewpoint-diverse pool. Cameras 1..11 sweep an arc; image 0 extends
+        it past camera 11. Descriptors are viewpoint-dependent (realistic for
+        oblique patches), so guided matching only works if the pool contains
+        observations from nearby viewpoints — i.e. from the arc's FAR end,
+        which first-2 (earliest cameras) never covers."""
+        import dataclasses as dc
+        from scipy.spatial.transform import Rotation
+        import sfm_tpu.reconstruction.incremental as inc
+        from sfm_tpu.matching import all_pairs_sweep
+        from sfm_tpu.matching.sweep import candidate_pairs
+
+        cam = CameraConfig()
+        Kmat = cam.K()
+        n_cams, n_pts, D, K_budget = 12, 260, 48, 192
+        pts = rng.uniform(low=[-1.2, -1.2, -1.2], high=[1.2, 1.2, 1.2],
+                         size=(n_pts, 3)).astype(np.float32)
+        desc_gt = unit(rng.normal(size=(n_pts, D))).astype(np.float32)
+        # PER-POINT viewpoint mixing (unit-scale): the appearance change with
+        # viewpoint must interact with point identity, otherwise a global
+        # linear term cancels out in matching and any pool works.
+        Mdir = (rng.normal(size=(n_pts, D, 3)) / np.sqrt(D)).astype(np.float32)
+
+        # Image 0 sits at the FAR end of the arc (beyond camera 11).
+        angles = np.radians(np.concatenate([[180.0], np.arange(11) * 15.0]))
+        Rs, ts, centers = [], [], []
+        for ang in angles:
+            R = Rotation.from_euler("y", ang).as_matrix().astype(np.float32)
+            c = np.array([7 * np.sin(ang), 0.0, -7 * np.cos(ang)], np.float32)
+            Rs.append(R)
+            ts.append(-R @ c)
+            centers.append(c)
+
+        xy = np.zeros((n_cams, K_budget, 2), np.float32)
+        desc = np.zeros((n_cams, K_budget, D), np.float32)
+        valid = np.zeros((n_cams, K_budget), bool)
+        for c in range(n_cams):
+            proj, depth = project(pts, Rs[c], ts[c], Kmat)
+            proj = np.asarray(proj)
+            vis = np.nonzero(
+                (np.asarray(depth) > 0)
+                & (proj[:, 0] > 10) & (proj[:, 0] < 1014)
+                & (proj[:, 1] > 10) & (proj[:, 1] < 758)
+            )[0][:K_budget]
+            for k, p in enumerate(vis):
+                view_dir = (centers[c] - pts[p])
+                view_dir = view_dir / np.linalg.norm(view_dir)
+                # Viewpoint-dependent appearance: same 3-D point looks alike
+                # only from nearby cameras.
+                desc[c, k] = unit(desc_gt[p] + Mdir[p] @ view_dir)
+                xy[c, k] = proj[p] + rng.normal(scale=0.2, size=2)
+                valid[c, k] = True
+
+        # Stage 1 runs over cams 1..11 only — image 0 has no pair at all.
+        sub = candidate_pairs(n_cams)
+        sub = sub[(sub[:, 0] != 0) & (sub[:, 1] != 0)]
+        cfg = SfMConfig(
+            matching=MatchConfig(max_matches=192),
+            verify=VerifyConfig(ransac_iters=256, rescue_disconnected=False),
+            pnp=PnPConfig(ransac_iters=512, guided_iters=4096),
+            ba=BAConfig(max_iterations=10, cg_iters=30,
+                        optimize_intrinsics=False),
+        )
+        table = all_pairs_sweep(xy, desc, valid, cfg, pairs=sub, chunk_size=16)
+        assert table.accept.sum() >= 10
+
+        def first2_pick(d, ok):
+            return ok & (np.cumsum(ok, axis=1) <= 2)
+
+        orig = inc._pick_diverse_two
+        try:
+            inc._pick_diverse_two = first2_pick
+            old = StructureFromMotion(table, xy, cfg, desc=desc,
+                                      feat_valid=valid)
+            res_old = old.run_reconstruction()
+        finally:
+            inc._pick_diverse_two = orig
+        assert 0 not in set(res_old.image_ids.tolist()), \
+            "setup: first-2 pool should fail this rescue"
+
+        new = StructureFromMotion(table, xy, cfg, desc=desc, feat_valid=valid)
+        res_new = new.run_reconstruction()
+        assert 0 in set(res_new.image_ids.tolist())
+
+
 class TestCheckpoint:
     def test_save_load_roundtrip(self, scene, pair_table, tmp_path):
         from sfm_tpu.config import SfMConfig, PnPConfig, BAConfig
