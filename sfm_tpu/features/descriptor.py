@@ -338,6 +338,57 @@ def keypoint_descriptor_patch(
     return desc
 
 
+def extract_grad_patch_canvas(canvas, grad_layer, x, y, row_off, w_o, h_o):
+    """`extract_grad_patch` against a multi-octave canvas. vmap over keypoints.
+
+    canvas: (S+3, sumH, Wmax) — every octave's Gaussian stack padded to a
+    common width and stacked along rows (octave o's rows start at its
+    row_off). row_off/w_o/h_o: () ints for THIS keypoint's octave. Patch
+    coords returned are octave-local (the canvas offset is applied only at
+    the slice), so the samplers never see canvas geometry.
+    """
+    cx = jnp.round(x).astype(jnp.int32)
+    cy = jnp.round(y).astype(jnp.int32)
+    g0x = jnp.clip(cx - (PATCH // 2 + 1), 0, jnp.maximum(w_o - _GPATCH, 0))
+    g0y = jnp.clip(cy - (PATCH // 2 + 1), 0, jnp.maximum(h_o - _GPATCH, 0))
+    patch = jax.lax.dynamic_slice(
+        canvas, (grad_layer + 1, row_off + g0y, g0x), (1, _GPATCH, _GPATCH)
+    )[0]
+    gxp = 0.5 * (patch[1:-1, 2:] - patch[1:-1, :-2])
+    gyp = 0.5 * (patch[2:, 1:-1] - patch[:-2, 1:-1])
+    return gxp, gyp, g0x + 1, g0y + 1
+
+
+def orientation_and_descriptor_canvas(
+    canvas, grad_layer, x, y, sigma_rel, row_off, w_o, h_o,
+    descriptor_scale: float = 3.0,
+    clip: float = 0.2,
+):
+    """Mixed-octave keypoint batch: canvas patches -> angles + descriptors.
+
+    All per-keypoint arrays are (K,): grad_layer/x/y/sigma_rel in octave
+    coords, row_off/w_o/h_o the keypoint's octave canvas row offset and true
+    (unpadded) octave dims. Returns (angle (K,), desc (K, 128)).
+    """
+    gxp, gyp, sx, sy = jax.vmap(
+        lambda l, xx, yy, ro, wo, ho: extract_grad_patch_canvas(
+            canvas, l, xx, yy, ro, wo, ho
+        )
+    )(grad_layer, x, y, row_off, w_o, h_o)
+    angle = jax.vmap(
+        lambda a, b, c, d, xx, yy, ss, wo, ho: keypoint_orientation_patch(
+            a, b, c, d, xx, yy, ss, wo, ho
+        )
+    )(gxp, gyp, sx, sy, x, y, sigma_rel, w_o, h_o)
+    desc = jax.vmap(
+        lambda a, b, c, d, xx, yy, ss, aa, wo, ho: keypoint_descriptor_patch(
+            a, b, c, d, xx, yy, ss, aa, wo, ho,
+            descriptor_scale=descriptor_scale, clip=clip,
+        )
+    )(gxp, gyp, sx, sy, x, y, sigma_rel, angle, w_o, h_o)
+    return angle, desc
+
+
 def orientation_and_descriptor_batch(
     gauss, grad_layer, x, y, sigma_rel, w, h,
     descriptor_scale: float = 3.0,

@@ -1,9 +1,18 @@
 """The full feature frontend: image -> fixed-K keypoints + descriptors.
 
 One jitted program per image geometry: pyramid (convs) -> grid extrema ->
-per-octave top-k -> orientation + descriptor (vmapped gathers + einsum) ->
-global top-k to the fixed keypoint budget. Returns padded arrays + validity
-mask so the all-pairs matcher downstream has fully static shapes.
+per-octave top-k -> mask gate + GLOBAL top-k on candidate metadata ->
+orientation + descriptor for the selected budget only. Returns padded arrays
++ validity mask so the all-pairs matcher downstream has fully static shapes.
+
+Select-first ordering (round 3): description is the dominant per-keypoint
+cost, and describing every per-octave candidate slot (sum of octave budgets,
+~1.9x the final keypoint budget) then throwing half away wasted that work.
+Selection needs only metadata (response + mask lookup at xy), so it runs
+first; the survivors are described against a single multi-octave "canvas"
+(all octave Gaussian stacks stacked along rows at a common width), which
+makes patch extraction a uniform per-keypoint dynamic_slice regardless of
+which octave the keypoint came from.
 
 Silhouette-mask gating follows the reference (find_matches.py:120-137): a
 keypoint is kept only if the mask is foreground at its location.
@@ -19,7 +28,10 @@ import jax.numpy as jnp
 from sfm_tpu.config import FeatureConfig
 from sfm_tpu.features.pyramid import build_pyramid
 from sfm_tpu.features.detect import dog_extrema_scores, select_octave_candidates
-from sfm_tpu.features.descriptor import orientation_and_descriptor_batch
+from sfm_tpu.features.descriptor import (
+    _GPATCH,
+    orientation_and_descriptor_canvas,
+)
 
 
 class Features(NamedTuple):
@@ -51,6 +63,7 @@ def _detect_impl(image, mask, config: FeatureConfig, has_mask: bool) -> Features
     # With the -1 octave, octave o sits at resolution scale 2^(o-1).
     oct_base = 0.5 if config.upsample_first_octave else 1.0
 
+    # ---- stage 1: candidate METADATA per octave (no descriptors) ----------
     per_octave = []
     for o in range(config.num_octaves):
         fields = dog_extrema_scores(
@@ -59,38 +72,33 @@ def _detect_impl(image, mask, config: FeatureConfig, has_mask: bool) -> Features
         cands = select_octave_candidates(fields, _octave_budget(config.max_keypoints, o))
 
         layer = cands["layer"]                        # 1..S (DoG interior)
-        grad_idx = layer - 1
         x_o = cands["x"].astype(jnp.float32) + cands["off_x"]
         y_o = cands["y"].astype(jnp.float32) + cands["off_y"]
         sigma_rel = config.sigma0 * jnp.power(
             2.0, (layer.astype(jnp.float32) + cands["off_s"]) / S
         )
 
-        h_o, w_o = gaussians[o].shape[-2:]
-        angle, desc = orientation_and_descriptor_batch(
-            gaussians[o], grad_idx, x_o, y_o, sigma_rel, w_o, h_o,
-            descriptor_scale=config.descriptor_scale,
-            clip=config.descriptor_clip,
-        )
-
         scale = float(1 << o) * oct_base
+        n = layer.shape[0]
         per_octave.append(
             {
                 "xy": jnp.stack([x_o * scale, y_o * scale], axis=-1),
                 "sigma": sigma_rel * scale,
-                "angle": angle,
+                "sigma_rel": sigma_rel,
                 "response": cands["score"],
-                "desc": desc,
+                "grad_idx": layer - 1,
+                "x_o": x_o,
+                "y_o": y_o,
+                "octave": jnp.full((n,), o, jnp.int32),
             }
         )
 
-    xy = jnp.concatenate([p["xy"] for p in per_octave])
-    sigma = jnp.concatenate([p["sigma"] for p in per_octave])
-    angle = jnp.concatenate([p["angle"] for p in per_octave])
-    response = jnp.concatenate([p["response"] for p in per_octave])
-    desc = jnp.concatenate([p["desc"] for p in per_octave])
+    cat = lambda key: jnp.concatenate([p[key] for p in per_octave])
+    xy = cat("xy")
+    response = cat("response")
     valid = response > 0
 
+    # ---- stage 2: mask gate + global selection on metadata only -----------
     if has_mask:
         if config.mask_dilate > 0:
             # Grow the foreground by mask_dilate px (morphological dilation as
@@ -106,20 +114,60 @@ def _detect_impl(image, mask, config: FeatureConfig, has_mask: bool) -> Features
         yi = jnp.clip(jnp.round(xy[:, 1]).astype(jnp.int32), 0, h - 1)
         valid = valid & mask[yi, xi]
 
-    # Global top-k by response among valid candidates.
     score = jnp.where(valid, response, -1.0)
     _, idx = jax.lax.top_k(score, config.max_keypoints)
-    sel = lambda a: a[idx]
-    valid = sel(valid) & (sel(score) > 0)
+    sel = lambda key: cat(key)[idx]
+    valid = valid[idx] & (score[idx] > 0)
+
+    xy = sel("xy")
+    sigma = sel("sigma")
+    response = response[idx]
+
+    # ---- stage 3: describe ONLY the selected budget ------------------------
+    # Canvas: every octave's Gaussian stack, padded to a common width and
+    # stacked along rows. A keypoint's patch is then one dynamic_slice at
+    # (grad_layer+1, row_off[octave] + y, x) — no per-octave batches.
+    heights = [g.shape[-2] for g in gaussians]
+    widths = [g.shape[-1] for g in gaussians]
+    wmax = max(max(widths), _GPATCH)
+    canvas = jnp.concatenate(
+        [jnp.pad(g, ((0, 0), (0, max(0, _GPATCH - g.shape[-2])),
+                     (0, wmax - g.shape[-1]))) for g in gaussians],
+        axis=1,
+    )
+    row_off = []
+    acc = 0
+    for g in gaussians:
+        row_off.append(acc)
+        acc += max(g.shape[-2], _GPATCH)
+
+    octv = sel("octave")
+    kp_roff = jnp.asarray(row_off, jnp.int32)[octv]
+    kp_h = jnp.asarray(heights, jnp.int32)[octv]
+    kp_w = jnp.asarray(widths, jnp.int32)[octv]
+
+    angle, desc = orientation_and_descriptor_canvas(
+        canvas,
+        sel("grad_idx"),
+        sel("x_o"),
+        sel("y_o"),
+        sel("sigma_rel"),
+        kp_roff,
+        kp_w,
+        kp_h,
+        descriptor_scale=config.descriptor_scale,
+        clip=config.descriptor_clip,
+    )
+
     zero = lambda a: jnp.where(
         valid.reshape(valid.shape + (1,) * (a.ndim - 1)), a, 0
     )
     return Features(
-        xy=zero(sel(xy)),
-        sigma=zero(sel(sigma)),
-        angle=zero(sel(angle)),
-        response=zero(sel(response)),
-        desc=zero(sel(desc)),
+        xy=zero(xy),
+        sigma=zero(sigma),
+        angle=zero(angle),
+        response=zero(response),
+        desc=zero(desc),
         valid=valid,
     )
 
@@ -153,8 +201,8 @@ def detect_and_describe_batch(
 
     Dispatches in sub-batches of ``batch_size``: one vmapped program per
     sub-batch amortizes the per-call dispatch overhead (dominant on a
-    remote-tunneled TPU), while the cap bounds the vmap's working set — the
-    un-fused pyramid grids of a full 36-image batch need ~47 GB HBM.
+    remote-tunneled TPU), while the cap bounds the vmap's working set (the
+    un-fused pyramid grids dominate it).
     """
     images = jnp.asarray(images, jnp.float32)
     N = images.shape[0]
