@@ -23,10 +23,17 @@ def _shift2d(x, dy, dx):
 def dog_extrema_scores(dog, contrast_threshold: float, edge_threshold: float):
     """Score every interior pixel of a DoG stack as a keypoint candidate.
 
-    dog: (S+2, h, w). Returns dict of (S, h, w) grids (for interior layers
-    1..S): ``score`` (|refined contrast|, 0 where rejected), ``off`` (3,
-    offsets dx, dy, ds), each already gated on extremality, contrast, edge
-    response, and offset convergence.
+    dog: (S+2, h, w). Returns dict with ONE (S, h, w) grid (interior layers
+    1..S): ``score`` (|refined contrast|, 0 where rejected), already gated on
+    extremality, contrast, edge response, and offset convergence.
+
+    The subpixel offsets are computed here (they gate the score) but NOT
+    returned as grids: with ``score`` as the single consumer XLA fuses the
+    whole 27-point stencil + adjugate solve into one loop over the grid,
+    instead of materializing ~14 full-resolution derivative/offset grids
+    (432 MB each at the upsampled octave in a 12-image batch — the round-3
+    OOM). Selected candidates get their offsets recomputed pointwise by
+    :func:`refine_candidates`.
     """
     D = dog
     S = D.shape[0] - 2
@@ -104,12 +111,49 @@ def dog_extrema_scores(dog, contrast_threshold: float, edge_threshold: float):
 
     good = extremum & converged & contrast_ok & edge_ok & in_bounds
     score = jnp.where(good, jnp.abs(refined), 0.0)
-    return {
-        "score": score,
-        "off_x": off_x,
-        "off_y": off_y,
-        "off_s": off_s,
-    }
+    return {"score": score}
+
+
+def refine_candidates(dog, layer, y, x):
+    """Recompute subpixel offsets at selected candidate coordinates.
+
+    dog: (S+2, h, w); layer: (K,) interior DoG layer (1..S); y, x: (K,) int
+    grid coords. Gathers each candidate's 3x3x3 neighborhood and solves the
+    same closed-form (adjugate) 3x3 system as the grid pass — identical
+    values, but only for K candidates instead of every pixel.
+    Returns (off_x, off_y, off_s), each (K,).
+    """
+    def cube(l, yy, xx):
+        return jax.lax.dynamic_slice(dog, (l - 1, yy - 1, xx - 1), (3, 3, 3))
+
+    C = jax.vmap(cube)(layer, y, x)                 # (K, 3, 3, 3) [s, y, x]
+    c = C[:, 1, 1, 1]
+    gx = 0.5 * (C[:, 1, 1, 2] - C[:, 1, 1, 0])
+    gy = 0.5 * (C[:, 1, 2, 1] - C[:, 1, 0, 1])
+    gs = 0.5 * (C[:, 2, 1, 1] - C[:, 0, 1, 1])
+    dxx = C[:, 1, 1, 2] + C[:, 1, 1, 0] - 2 * c
+    dyy = C[:, 1, 2, 1] + C[:, 1, 0, 1] - 2 * c
+    dss = C[:, 2, 1, 1] + C[:, 0, 1, 1] - 2 * c
+    dxy = 0.25 * (C[:, 1, 2, 2] + C[:, 1, 0, 0] - C[:, 1, 0, 2] - C[:, 1, 2, 0])
+    dxs = 0.25 * (C[:, 2, 1, 2] - C[:, 2, 1, 0] - C[:, 0, 1, 2] + C[:, 0, 1, 0])
+    dys = 0.25 * (C[:, 2, 2, 1] - C[:, 2, 0, 1] - C[:, 0, 2, 1] + C[:, 0, 0, 1])
+
+    det = (
+        dxx * (dyy * dss - dys * dys)
+        - dxy * (dxy * dss - dys * dxs)
+        + dxs * (dxy * dys - dyy * dxs)
+    )
+    inv_det = jnp.where(jnp.abs(det) < _EPS, 0.0, 1.0 / jnp.where(jnp.abs(det) < _EPS, 1.0, det))
+    a00 = dyy * dss - dys * dys
+    a01 = dxs * dys - dxy * dss
+    a02 = dxy * dys - dxs * dyy
+    a11 = dxx * dss - dxs * dxs
+    a12 = dxy * dxs - dxx * dys
+    a22 = dxx * dyy - dxy * dxy
+    off_x = -(a00 * gx + a01 * gy + a02 * gs) * inv_det
+    off_y = -(a01 * gx + a11 * gy + a12 * gs) * inv_det
+    off_s = -(a02 * gx + a12 * gy + a22 * gs) * inv_det
+    return off_x, off_y, off_s
 
 
 def select_octave_candidates(fields, budget: int):
@@ -146,14 +190,9 @@ def select_octave_candidates(fields, budget: int):
     sub_arg = jnp.argmax(sub == top[:, None], axis=1)
     y = by * 2 + sub_arg // 2
     x = bx * 2 + sub_arg % 2
-    idx = layer * (h * w) + jnp.minimum(y, h - 1) * w + jnp.minimum(x, w - 1)
-    take = lambda f: f.reshape(-1)[idx]
     return {
         "layer": (layer + 1).astype(jnp.int32),  # DoG interior layer index
-        "y": y.astype(jnp.int32),
-        "x": x.astype(jnp.int32),
-        "off_x": take(fields["off_x"]),
-        "off_y": take(fields["off_y"]),
-        "off_s": take(fields["off_s"]),
+        "y": jnp.minimum(y, h - 1).astype(jnp.int32),
+        "x": jnp.minimum(x, w - 1).astype(jnp.int32),
         "score": top,
     }

@@ -27,7 +27,11 @@ import jax.numpy as jnp
 
 from sfm_tpu.config import FeatureConfig
 from sfm_tpu.features.pyramid import build_pyramid
-from sfm_tpu.features.detect import dog_extrema_scores, select_octave_candidates
+from sfm_tpu.features.detect import (
+    dog_extrema_scores,
+    refine_candidates,
+    select_octave_candidates,
+)
 from sfm_tpu.features.descriptor import (
     _GPATCH,
     orientation_and_descriptor_canvas,
@@ -72,10 +76,13 @@ def _detect_impl(image, mask, config: FeatureConfig, has_mask: bool) -> Features
         cands = select_octave_candidates(fields, _octave_budget(config.max_keypoints, o))
 
         layer = cands["layer"]                        # 1..S (DoG interior)
-        x_o = cands["x"].astype(jnp.float32) + cands["off_x"]
-        y_o = cands["y"].astype(jnp.float32) + cands["off_y"]
+        off_x, off_y, off_s = refine_candidates(
+            dogs[o], layer, cands["y"], cands["x"]
+        )
+        x_o = cands["x"].astype(jnp.float32) + off_x
+        y_o = cands["y"].astype(jnp.float32) + off_y
         sigma_rel = config.sigma0 * jnp.power(
-            2.0, (layer.astype(jnp.float32) + cands["off_s"]) / S
+            2.0, (layer.astype(jnp.float32) + off_s) / S
         )
 
         scale = float(1 << o) * oct_base
