@@ -22,6 +22,7 @@ from __future__ import annotations
 from functools import partial
 from typing import NamedTuple, Optional
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -53,8 +54,34 @@ def _octave_budget(max_keypoints: int, octave: int) -> int:
     return max(max_keypoints >> octave, 256)
 
 
+def _normalize_image(image):
+    """Accept u8/u16 quantized grayscale and normalize on DEVICE.
+
+    The tunnel's host->device path measured ~37 MB/s — uploading f32 pixels
+    made the transfer, not the compute, the detection bottleneck (3.8 s vs
+    1.2 s for all dispatches on bunny-36). u16 luma is 2x smaller with
+    quantization error 7.6e-6, three orders of magnitude below the DoG
+    contrast threshold (0.006).
+    """
+    if image.dtype == jnp.uint8:
+        return image.astype(jnp.float32) / 255.0
+    if image.dtype == jnp.uint16:
+        return image.astype(jnp.float32) / 65535.0
+    return image.astype(jnp.float32)
+
+
+def _unpack_mask(packed, w: int):
+    """(h, ceil(w/8)) uint8 np.packbits rows -> (h, w) bool, on device."""
+    shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
+    bits = (packed[..., None] >> shifts) & jnp.uint8(1)
+    return bits.reshape(packed.shape[0], -1)[:, :w].astype(bool)
+
+
 @partial(jax.jit, static_argnames=("config", "has_mask"))
 def _detect_impl(image, mask, config: FeatureConfig, has_mask: bool) -> Features:
+    image = _normalize_image(image)
+    if has_mask and mask.dtype == jnp.uint8:   # bit-packed on the wire
+        mask = _unpack_mask(mask, image.shape[1])
     S = config.scales_per_octave
     gaussians, dogs = build_pyramid(
         image,
@@ -185,8 +212,10 @@ def detect_and_describe(
     """Detect SIFT-class features on a (H, W) float32 [0,1] image.
 
     ``mask``: optional (H, W) bool foreground mask (True = keep keypoints).
+    Accepts float32 [0, 1] or u8/u16 quantized grayscale (normalized on
+    device — see :func:`_normalize_image`).
     """
-    image = jnp.asarray(image, jnp.float32)
+    image = jnp.asarray(image)
     has_mask = mask is not None
     if mask is None:
         mask = jnp.ones((1, 1), dtype=bool)  # placeholder, unused
@@ -210,21 +239,45 @@ def detect_and_describe_batch(
     sub-batch amortizes the per-call dispatch overhead (dominant on a
     remote-tunneled TPU), while the cap bounds the vmap's working set (the
     un-fused pyramid grids dominate it).
+
+    Host (numpy) inputs are sliced on host and uploaded per sub-batch, so
+    each upload overlaps the previous sub-batch's compute; u8/u16 inputs
+    stay quantized on the wire (see :func:`_normalize_image`).
     """
-    images = jnp.asarray(images, jnp.float32)
+    host_in = isinstance(images, np.ndarray)
+    xp = np if host_in else jnp
+    images = xp.asarray(images)
     N = images.shape[0]
     has_mask = masks is not None
     if masks is None:
-        masks = jnp.ones((N, 1, 1), dtype=bool)
-    masks = jnp.asarray(masks, bool)
+        masks = xp.ones((N, 1, 1), dtype=bool)
+    masks = xp.asarray(masks)
+    if host_in and has_mask and masks.dtype == bool and masks.ndim == 3:
+        # Bit-pack the mask rows for the wire (8x fewer bytes; unpacked on
+        # device by _detect_impl).
+        masks = np.packbits(masks, axis=-1)
 
     B = min(batch_size, N)
     pad = (-N) % B
     if pad:
-        images = jnp.concatenate([images, jnp.repeat(images[-1:], pad, 0)])
-        masks = jnp.concatenate([masks, jnp.repeat(masks[-1:], pad, 0)])
+        images = xp.concatenate([images, xp.repeat(images[-1:], pad, 0)])
+        masks = xp.concatenate([masks, xp.repeat(masks[-1:], pad, 0)])
+    def upload(a):
+        """Host slice -> device, in ~4 MB pieces: the tunnel's H2D rate was
+        measured at 47 MB/s with 4 MB chunks vs 26 MB/s for one large
+        buffer (and uploads overlap the previous sub-batch's compute)."""
+        if not host_in or a.nbytes <= 6e6:
+            return jnp.asarray(a)
+        per = max(1, int(4e6 / max(a[0].nbytes, 1)))
+        return jnp.concatenate(
+            [jnp.asarray(a[i : i + per]) for i in range(0, len(a), per)]
+        )
+
     outs = [
-        _detect_batch_impl(images[c : c + B], masks[c : c + B], config, has_mask)
+        _detect_batch_impl(
+            upload(images[c : c + B]), upload(masks[c : c + B]),
+            config, has_mask,
+        )
         for c in range(0, N + pad, B)
     ]
     merged = jax.tree.map(lambda *xs: jnp.concatenate(xs)[:N], *outs)

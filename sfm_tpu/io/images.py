@@ -86,6 +86,17 @@ def load_image_gray(path) -> np.ndarray:
     return to_gray(load_image(path))
 
 
+def load_image_gray_u16(path) -> np.ndarray:
+    """(H, W) uint16 luma in [0, 65535] — the frontend's wire format.
+
+    The detection frontend normalizes on device (frontend._normalize_image):
+    u16 halves the host->device bytes vs float32 with quantization error
+    7.6e-6, far below the DoG contrast threshold.
+    """
+    g = to_gray(load_image(path))
+    return np.round(g * 65535.0).astype(np.uint16)
+
+
 def _binary_close(mask: np.ndarray) -> np.ndarray:
     """3x3 morphological close (dilate then erode) on a boolean mask."""
 

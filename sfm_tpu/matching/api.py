@@ -20,7 +20,7 @@ from typing import Optional
 import numpy as np
 
 from sfm_tpu.config import SfMConfig
-from sfm_tpu.io.images import load_image_gray, load_mask
+from sfm_tpu.io.images import load_image_gray, load_image_gray_u16, load_mask
 from sfm_tpu.features import detect_and_describe, detect_and_describe_batch
 from sfm_tpu.matching.sweep import all_pairs_sweep, PairTable
 
@@ -83,7 +83,9 @@ class ImageMatcher:
         if not self.image_paths:
             raise FileNotFoundError(f"no images in {self.image_dir}")
         t0 = time.time()
-        imgs = [load_image_gray(p) for p in self.image_paths]
+        # u16 luma on the wire: the tunnel's host->device path (~37 MB/s
+        # measured) made f32 pixel upload the detection bottleneck.
+        imgs = [load_image_gray_u16(p) for p in self.image_paths]
         masks = [self._mask_for(p) if use_mask else None for p in self.image_paths]
         from sfm_tpu.utils.transfer import device_get_chunked
 
