@@ -246,7 +246,13 @@ def _sample_grad_patch(gxp, gyp, xr, yr):
     Wr = (grid == y0[:, None]) * (1.0 - fy) + (grid == y0[:, None] + 1.0) * fy
     Wc = (grid == x0[:, None]) * (1.0 - fx) + (grid == x0[:, None] + 1.0) * fx
     G = jnp.concatenate([gxp, gyp], axis=1)               # (P, 2P)
-    tmp = jnp.matmul(Wr, G, precision=jax.lax.Precision.HIGHEST)  # (n, 2P)
+    # bf16 single-pass is enough here: the sampled gradients feed soft-binned
+    # histograms and a normalized+clipped descriptor — classic SIFT stores
+    # descriptors at u8 (0.4% quanta), the same noise floor as bf16 inputs.
+    # vs HIGHEST (6-pass bf16 synthesis): bunny matching is unchanged (same
+    # 177 accepted pairs, total inliers -0.04%) for 6x fewer MXU passes on
+    # the sampling matmuls.
+    tmp = jnp.matmul(Wr, G)                               # (n, 2P)
     vx = jnp.sum(tmp[:, :P] * Wc, axis=1)
     vy = jnp.sum(tmp[:, P:] * Wc, axis=1)
     return vx, vy, ok
