@@ -45,24 +45,10 @@ class MatchConfig:
     ratio_threshold: float = 0.75      # Lowe ratio (find_matches.py:152)
     max_matches: int = 1024            # fixed per-pair budget (padded + masked)
     mutual_check: bool = True          # cross-check (reference used crossCheck=False)
-    use_pallas: bool = False           # fused Pallas top-2 kernel instead of
-                                       # the XLA matmul + min-pass path.
-                                       # Measured (v5e, K=2048, D=128, chunk
-                                       # of 32 pairs): XLA 22.6 ms/chunk vs
-                                       # Pallas 221 ms — the XLA path wins ~10x
-                                       # at production shapes because the
-                                       # (K,K) f32 distance tile still fits
-                                       # HBM bandwidth while the kernel's
-                                       # per-tile accumulator merges serialize.
-                                       # The kernel remains for K >= 8k where
-                                       # the distance matrix cannot
-                                       # materialize. `python bench.py
-                                       # --matcher-mfu` reports both paths.
-    tile_size: int = 128               # Pallas kernel column-tile width
-                                       # (tile_n); K must divide by it. 128
-                                       # is the validated tile — wider tiles
-                                       # overflow scoped VMEM once the sweep
-                                       # vmaps the kernel over a pair chunk
+    # Note: a fused Pallas top-2 matcher kernel existed through round 2; the
+    # round-3 K-sweep A/B (bench.py --matcher-mfu, K=2048/8192/16384) showed
+    # the XLA matmul + min-pass path winning 7-10x at every K, so the kernel
+    # and its use_pallas/tile_size knobs were removed.
 
 
 @dataclasses.dataclass(frozen=True)
@@ -174,12 +160,16 @@ class BAConfig:
     huber_delta: float = 2.0           # px (ref uses huber loss, :511)
     cg_iters: int = 50                 # CG iterations on the Schur system
     cg_tol: float = 1e-6
-    use_dense_schur_below: int = 128   # cams <= this -> dense Cholesky on S
-                                       # (measured: dense wins at 36 cams
-                                       # [62 vs 39 LM it/s] and 100 [6.2 vs
-                                       # 4.8]; PCG wins at 256 [2.8 vs 1.6]
-                                       # - the S build is 6C+4 batched
-                                       # matvecs, quadratic in C)
+    use_dense_schur_below: int = 256   # cams <= this -> direct dense-S build
+                                       # + Cholesky (round-3 A/B, v5e: dense
+                                       # beats PCG at every tested size once
+                                       # S is assembled from the
+                                       # co-observation table instead of
+                                       # 6C+4 matvecs — 36 cams: 28.0 vs
+                                       # 20.7 LM it/s; 100: 6.4 vs 4.9;
+                                       # 256: 3.45 vs 2.87. Above 256 the
+                                       # (6C+4)^2 factor grows cubically;
+                                       # PCG stays the scalable path)
     optimize_intrinsics: bool = True   # shared fx,fy,cx,cy (ref: per-cam then mean)
     per_camera_intrinsics: bool = False  # optimize fx,fy,cx,cy PER CAMERA
                                        # (10 params/cam, the reference's
