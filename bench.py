@@ -101,12 +101,19 @@ def bench_ba(n_cams=100, n_pts=20000, obs_per_cam=2000, lm_iters=10):
 
 
 def matcher_mfu(k_list=(2048, 8192, 16384)):
-    """Matcher FLOP-rate report: XLA min-pass path vs the Pallas fused top-2
-    kernel across keypoint budgets (the reference runs up to 10k ORB features,
-    ref find_matches.py:110 — K >= 8k is a real regime, not hypothetical).
-    Per-pair batch shrinks with K so the XLA path's (K, K) distance tile
-    fits HBM. Prints ONE JSON line with the per-K table and the measured
-    crossover (if any)."""
+    """Matcher FLOP-rate report across keypoint budgets (the reference runs
+    up to 10k ORB features, ref find_matches.py:110 — K >= 8k is a real
+    regime, not hypothetical). Per-pair batch shrinks with K so the (K, K)
+    distance tile fits HBM. Prints ONE JSON line with the per-K table.
+
+    Historical A/B that settled the kernel question (v5e, 2026-08-17, this
+    harness with a Pallas fused top-2 kernel as the second contestant —
+    ms/pair XLA vs Pallas): K=2048 1.09 vs 7.62; K=8192 19.12 vs 121.41;
+    K=16384 44.11 vs 459.41. No crossover — XLA streams the distance tile
+    at HBM bandwidth (1.8-3.1 TFLOP/s) while the kernel's per-tile
+    accumulator merges serialize (~0.28 TFLOP/s flat). The kernel was
+    deleted per that result; this bench now tracks the surviving XLA path.
+    """
     import jax
     import jax.numpy as jnp
     from sfm_tpu.matching.core import _match_descriptors
@@ -115,7 +122,6 @@ def matcher_mfu(k_list=(2048, 8192, 16384)):
     D = 128
     rng = np.random.default_rng(0)
     table = {}
-    crossover = None
     for K in k_list:
         B = max(1, (2048 * 32) // K // max(K // 2048, 1))  # bound B*K^2
         d = rng.normal(size=(B, 2, K, D)).astype(np.float32)
@@ -124,44 +130,30 @@ def matcher_mfu(k_list=(2048, 8192, 16384)):
         v = jnp.asarray(np.ones((B, K), bool))
         flops = 2 * (2 * K * K * D) * B  # fwd + mutual back-check matmuls
 
+        fn = jax.jit(jax.vmap(
+            lambda a, b, vb: _match_descriptors(a, vb, b, vb, max_matches=1024)
+        ))
         row = {"B": B}
-        for name, use_pallas in (("xla", False), ("pallas", True)):
-            fn = jax.jit(jax.vmap(
-                lambda a, b, vb: _match_descriptors(
-                    a, vb, b, vb, max_matches=1024, use_pallas=use_pallas)
-            ))
-            try:
-                for _ in range(2):
-                    r = fn(d[:, 0], d[:, 1], v)
-                    float(jnp.sum(r["distance"]))
-                times = []
-                for _ in range(3):
-                    t0 = time.time()
-                    r = fn(d[:, 0], d[:, 1], v)
-                    float(jnp.sum(r["distance"]))
-                    times.append(time.time() - t0)
-                dt = float(np.median(times))
-                row[name] = {
-                    "ms_per_pair": round(dt * 1e3 / B, 2),
-                    "gflops": round(flops / dt / 1e9, 1),
-                    "mfu_pct": round(100 * flops / dt / PEAK_F32, 1),
-                }
-            except Exception as e:  # OOM at large K is a result, not a crash
-                row[name] = {"error": type(e).__name__}
-        if "ms_per_pair" in row.get("xla", {}) and "ms_per_pair" in row.get("pallas", {}):
-            row["winner"] = (
-                "xla" if row["xla"]["ms_per_pair"] <= row["pallas"]["ms_per_pair"]
-                else "pallas"
-            )
-        elif "ms_per_pair" in row.get("pallas", {}):
-            row["winner"] = "pallas"  # XLA path failed (distance tile OOM)
-        if crossover is None and row.get("winner") == "pallas":
-            crossover = K
+        try:
+            for _ in range(2):
+                r = fn(d[:, 0], d[:, 1], v)
+                float(jnp.sum(r["distance"]))
+            times = []
+            for _ in range(3):
+                t0 = time.time()
+                r = fn(d[:, 0], d[:, 1], v)
+                float(jnp.sum(r["distance"]))
+                times.append(time.time() - t0)
+            dt = float(np.median(times))
+            row["xla"] = {
+                "ms_per_pair": round(dt * 1e3 / B, 2),
+                "gflops": round(flops / dt / 1e9, 1),
+                "mfu_pct": round(100 * flops / dt / PEAK_F32, 1),
+            }
+        except Exception as e:  # OOM at large K is a result, not a crash
+            row["xla"] = {"error": type(e).__name__}
         table[f"K{K}"] = row
-    print(json.dumps({
-        "metric": "matcher_mfu", "D": D, "pallas_crossover_K": crossover,
-        **table,
-    }))
+    print(json.dumps({"metric": "matcher_mfu", "D": D, **table}))
 
 
 def main():

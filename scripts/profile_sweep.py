@@ -33,7 +33,7 @@ t_chunk = timeit(lambda: fn(keys[:32], ch, xy_d, desc_d, valid_d), n=10)
 print('full chunk32: %.1f ms (%.2f ms/pair)' % (t_chunk, t_chunk/32), flush=True)
 
 # 2. matching only (vmapped 32)
-mfn = jax.jit(jax.vmap(lambda a, va, b, vb: _match_descriptors(a, va, b, vb, max_matches=1024, use_pallas=True)))
+mfn = jax.jit(jax.vmap(lambda a, va, b, vb: _match_descriptors(a, va, b, vb, max_matches=1024)))
 i, j = pairs[:32, 0], pairs[:32, 1]
 t_m = timeit(lambda: mfn(desc_d[i], valid_d[i], desc_d[j], valid_d[j]))
 print('match32:      %.1f ms' % t_m, flush=True)

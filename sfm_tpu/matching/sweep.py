@@ -135,8 +135,6 @@ def _sweep_chunk_fn(config: SfMConfig):
             min_inlier_ratio=vc.min_inlier_ratio,
             max_reproj_error=vc.max_reproj_error,
             min_spread=vc.min_spread,
-            use_pallas=mc.use_pallas,
-            tile_size=mc.tile_size,
         )
 
     return jax.vmap(one_pair, in_axes=(0, 0, None, None, None))

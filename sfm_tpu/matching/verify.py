@@ -84,8 +84,7 @@ def verify_pair(
     }
 
 
-@partial(jax.jit, static_argnames=("max_matches", "mutual_check", "ransac_iters",
-                                   "use_pallas", "tile_size"))
+@partial(jax.jit, static_argnames=("max_matches", "mutual_check", "ransac_iters"))
 def match_and_verify(
     key,
     desc1, xy_1, valid1,
@@ -99,8 +98,6 @@ def match_and_verify(
     min_inlier_ratio: float = 0.3,
     max_reproj_error: float = 2.0,
     min_spread: float = 20.0,
-    use_pallas: bool = False,
-    tile_size: int = 128,
 ):
     """Full per-pair path: descriptor match -> F-RANSAC -> quality gates.
 
@@ -113,8 +110,6 @@ def match_and_verify(
         ratio_threshold=ratio_threshold,
         max_matches=max_matches,
         mutual_check=mutual_check,
-        use_pallas=use_pallas,
-        tile_size=tile_size,
     )
     xy1 = xy_1[m["idx1"]] * m["valid"][:, None]
     xy2 = xy_2[m["idx2"]] * m["valid"][:, None]

@@ -52,8 +52,6 @@ def _pair_kwargs(config: SfMConfig) -> dict:
         min_inlier_ratio=vc.min_inlier_ratio,
         max_reproj_error=vc.max_reproj_error,
         min_spread=vc.min_spread,
-        use_pallas=mc.use_pallas,
-        tile_size=mc.tile_size,
     )
 
 
