@@ -97,6 +97,30 @@ int decode_gray_one(const char* path, float* dst, int expect_h, int expect_w) {
     return 0;
 }
 
+// Decode one file to uint8 luma (the frontend's wire format: the TPU
+// normalizes on device; u8 is 4x fewer host->device bytes than f32).
+// Matches sfm_tpu.io.images.load_image_gray_u8: round(255 * BT.601 luma).
+int decode_gray_u8_one(const char* path, uint8_t* dst, int expect_h, int expect_w) {
+    std::vector<uint8_t> buf;
+    if (read_file(path, &buf) != 0) return -1;
+    Header h;
+    if (parse_header(buf.data(), (long)buf.size(), &h) != 0) return -2;
+    if (h.height != expect_h || h.width != expect_w || h.maxval > 255) return -3;
+    const uint8_t* p = buf.data() + h.data_offset;
+    long npix = (long)h.width * h.height;
+    if ((long)buf.size() - h.data_offset < npix * (h.magic == 6 ? 3 : 1)) return -4;
+    if (h.magic == 5) {
+        memcpy(dst, p, npix);
+    } else {
+        for (long i = 0; i < npix; i++) {
+            const uint8_t* q = p + 3 * i;
+            float g = 0.299f * q[0] + 0.587f * q[1] + 0.114f * q[2];
+            dst[i] = (uint8_t)(g + 0.5f);
+        }
+    }
+    return 0;
+}
+
 // Decode one mask: threshold at 127, invert, 3x3 morphological close.
 int decode_mask_one(const char* path, uint8_t* dst, int expect_h, int expect_w) {
     std::vector<uint8_t> buf;
@@ -195,6 +219,26 @@ int pnm_load_gray_batch(const char* paths_blob, int n, int height, int width,
     long stride = (long)height * width;
     return parallel_over_files(n, threads, [&](int i) {
         return decode_gray_one(paths[i].c_str(), dst + stride * i, height, width);
+    });
+}
+
+// Batch-decode n images into dst (n, H, W) u8 luma (device-normalized wire
+// format). Returns number of failures.
+int pnm_load_gray_u8_batch(const char* paths_blob, int n, int height, int width,
+                           uint8_t* dst, int threads) {
+    std::vector<std::string> paths;
+    {
+        const char* s = paths_blob;
+        for (int i = 0; i < n; i++) {
+            const char* e = strchr(s, '\n');
+            if (!e) e = s + strlen(s);
+            paths.emplace_back(s, e - s);
+            s = (*e) ? e + 1 : e;
+        }
+    }
+    long stride = (long)height * width;
+    return parallel_over_files(n, threads, [&](int i) {
+        return decode_gray_u8_one(paths[i].c_str(), dst + stride * i, height, width);
     });
 }
 

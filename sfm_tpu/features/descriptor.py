@@ -347,18 +347,21 @@ def keypoint_descriptor_patch(
 def extract_grad_patch_canvas(canvas, grad_layer, x, y, row_off, w_o, h_o):
     """`extract_grad_patch` against a multi-octave canvas. vmap over keypoints.
 
-    canvas: (S+3, sumH, Wmax) — every octave's Gaussian stack padded to a
+    canvas: (S, sumH, Wmax) — every octave's INTERIOR Gaussian layers
+    (1..S — the only layers descriptors ever sample; carrying all S+3
+    doubled the canvas copy and working set for no reader) padded to a
     common width and stacked along rows (octave o's rows start at its
-    row_off). row_off/w_o/h_o: () ints for THIS keypoint's octave. Patch
-    coords returned are octave-local (the canvas offset is applied only at
-    the slice), so the samplers never see canvas geometry.
+    row_off). ``grad_layer`` indexes 0..S-1 straight into dim 0.
+    row_off/w_o/h_o: () ints for THIS keypoint's octave. Patch coords
+    returned are octave-local (the canvas offset is applied only at the
+    slice), so the samplers never see canvas geometry.
     """
     cx = jnp.round(x).astype(jnp.int32)
     cy = jnp.round(y).astype(jnp.int32)
     g0x = jnp.clip(cx - (PATCH // 2 + 1), 0, jnp.maximum(w_o - _GPATCH, 0))
     g0y = jnp.clip(cy - (PATCH // 2 + 1), 0, jnp.maximum(h_o - _GPATCH, 0))
     patch = jax.lax.dynamic_slice(
-        canvas, (grad_layer + 1, row_off + g0y, g0x), (1, _GPATCH, _GPATCH)
+        canvas, (grad_layer, row_off + g0y, g0x), (1, _GPATCH, _GPATCH)
     )[0]
     gxp = 0.5 * (patch[1:-1, 2:] - patch[1:-1, :-2])
     gyp = 0.5 * (patch[2:, 1:-1] - patch[:-2, 1:-1])

@@ -24,19 +24,28 @@ def dog_extrema_scores(dog, contrast_threshold: float, edge_threshold: float):
     """Score every interior pixel of a DoG stack as a keypoint candidate.
 
     dog: (S+2, h, w). Returns dict with ONE (S, h, w) grid (interior layers
-    1..S): ``score`` (|refined contrast|, 0 where rejected), already gated on
-    extremality, contrast, edge response, and offset convergence.
+    1..S): ``score`` = |raw DoG contrast| where the pixel is a strict
+    26-neighbor extremum inside the border, 0 elsewhere.
 
-    The subpixel offsets are computed here (they gate the score) but NOT
-    returned as grids: with ``score`` as the single consumer XLA fuses the
-    whole 27-point stencil + adjugate solve into one loop over the grid,
-    instead of materializing ~14 full-resolution derivative/offset grids
-    (432 MB each at the upsampled octave in a 12-image batch — the round-3
-    OOM). Selected candidates get their offsets recomputed pointwise by
-    :func:`refine_candidates`.
+    This grid pass is deliberately LIGHT: subpixel refinement and the
+    convergence / refined-contrast / edge gates run per-candidate in
+    :func:`refine_and_gate` AFTER per-octave selection, not here. Computing
+    the 3x3x3 derivative stack + adjugate solve at every pixel was ~2/3 of
+    the extremum stage's wall-clock (measured on v5e) for values that are
+    consumed at <0.1% of pixels; per-octave candidate budgets exceed the
+    strict-extremum survivor count by an order of magnitude on real images
+    (bunny octave 0: 2048 budget vs ~650 extrema at a pre-gate contrast
+    floor), so ranking by raw |contrast| here and by refined contrast after
+    the pointwise gates selects the same keypoint set.
+
+    A ``contrast_threshold``-derived pre-filter (half the final threshold,
+    against the raw value) trims obvious noise extrema so the downstream
+    budgets are spent on plausible candidates; the exact threshold is
+    re-applied to the REFINED value in :func:`refine_and_gate` (the refined
+    contrast of a surviving extremum can exceed its raw value, hence the
+    slack factor).
     """
     D = dog
-    S = D.shape[0] - 2
     center = D[1:-1]  # (S, h, w)
 
     # --- 26-neighbor extremum test (vectorized shifts) ---------------------
@@ -53,47 +62,32 @@ def dog_extrema_scores(dog, contrast_threshold: float, edge_threshold: float):
                 is_min &= center < nb
     extremum = is_max | is_min
 
-    # --- derivatives (central differences on the stack) --------------------
-    gx = 0.5 * (_shift2d(center, 0, -1) - _shift2d(center, 0, 1))
-    gy = 0.5 * (_shift2d(center, -1, 0) - _shift2d(center, 1, 0))
-    gs = 0.5 * (D[2:] - D[:-2])
-    dxx = _shift2d(center, 0, -1) + _shift2d(center, 0, 1) - 2 * center
-    dyy = _shift2d(center, -1, 0) + _shift2d(center, 1, 0) - 2 * center
-    dss = D[2:] + D[:-2] - 2 * center
-    dxy = 0.25 * (
-        _shift2d(center, -1, -1) + _shift2d(center, 1, 1)
-        - _shift2d(center, -1, 1) - _shift2d(center, 1, -1)
-    )
-    dxs = 0.25 * (
-        _shift2d(D[2:], 0, -1) - _shift2d(D[2:], 0, 1)
-        - _shift2d(D[:-2], 0, -1) + _shift2d(D[:-2], 0, 1)
-    )
-    dys = 0.25 * (
-        _shift2d(D[2:], -1, 0) - _shift2d(D[2:], 1, 0)
-        - _shift2d(D[:-2], -1, 0) + _shift2d(D[:-2], 1, 0)
-    )
+    h, w = center.shape[-2:]
+    yy = jnp.arange(h)[None, :, None]
+    xx = jnp.arange(w)[None, None, :]
+    border = 5
+    in_bounds = (yy >= border) & (yy < h - border) & (xx >= border) & (xx < w - border)
 
-    # --- closed-form solve of H @ off = -g (3x3 adjugate) ------------------
-    #     H = [[dxx, dxy, dxs], [dxy, dyy, dys], [dxs, dys, dss]]
-    det = (
-        dxx * (dyy * dss - dys * dys)
-        - dxy * (dxy * dss - dys * dxs)
-        + dxs * (dxy * dys - dyy * dxs)
-    )
-    inv_det = jnp.where(jnp.abs(det) < _EPS, 0.0, 1.0 / jnp.where(jnp.abs(det) < _EPS, 1.0, det))
-    a00 = dyy * dss - dys * dys
-    a01 = dxs * dys - dxy * dss
-    a02 = dxy * dys - dxs * dyy
-    a11 = dxx * dss - dxs * dxs
-    a12 = dxy * dxs - dxx * dys
-    a22 = dxx * dyy - dxy * dxy
-    off_x = -(a00 * gx + a01 * gy + a02 * gs) * inv_det
-    off_y = -(a01 * gx + a11 * gy + a12 * gs) * inv_det
-    off_s = -(a02 * gx + a12 * gy + a22 * gs) * inv_det
+    raw = jnp.abs(center)
+    good = extremum & in_bounds & (raw >= 0.5 * contrast_threshold)
+    return {"score": jnp.where(good, raw, 0.0)}
 
-    refined = center + 0.5 * (gx * off_x + gy * off_y + gs * off_s)
 
-    # --- gates -------------------------------------------------------------
+def refine_and_gate(dog, layer, y, x, contrast_threshold: float,
+                    edge_threshold: float):
+    """Subpixel refinement + quality gates for selected candidates.
+
+    dog: (S+2, h, w); layer/y/x: (K,) grid coords of strict extrema from
+    :func:`select_octave_candidates`. Computes the closed-form (adjugate)
+    3x3 offset solve on each candidate's 27-point neighborhood and applies
+    the SIFT gates the grid pass deferred: offset convergence (<0.6),
+    refined |contrast| >= contrast_threshold, Hessian edge-ratio test.
+
+    Returns (off_x, off_y, off_s, score) with score = |refined contrast|
+    where all gates pass, else 0 (the downstream validity convention).
+    """
+    off_x, off_y, off_s, extras = _refine_cubes(dog, layer, y, x)
+    refined, dxx, dyy, dxy = extras
     converged = (
         (jnp.abs(off_x) < 0.6) & (jnp.abs(off_y) < 0.6) & (jnp.abs(off_s) < 0.6)
     )
@@ -102,31 +96,46 @@ def dog_extrema_scores(dog, contrast_threshold: float, edge_threshold: float):
     det2 = dxx * dyy - dxy * dxy
     r = edge_threshold
     edge_ok = (det2 > 0) & (tr * tr * r < (r + 1.0) ** 2 * det2)
-
-    h, w = center.shape[-2:]
-    yy = jnp.arange(h)[None, :, None]
-    xx = jnp.arange(w)[None, None, :]
-    border = 5
-    in_bounds = (yy >= border) & (yy < h - border) & (xx >= border) & (xx < w - border)
-
-    good = extremum & converged & contrast_ok & edge_ok & in_bounds
-    score = jnp.where(good, jnp.abs(refined), 0.0)
-    return {"score": score}
+    score = jnp.where(converged & contrast_ok & edge_ok, jnp.abs(refined), 0.0)
+    return off_x, off_y, off_s, score
 
 
 def refine_candidates(dog, layer, y, x):
-    """Recompute subpixel offsets at selected candidate coordinates.
+    """Subpixel offsets at selected candidate coordinates (no gates).
+
+    Thin wrapper over :func:`_refine_cubes` for callers that only need the
+    offsets; the production frontend uses :func:`refine_and_gate`.
+    """
+    off_x, off_y, off_s, _ = _refine_cubes(dog, layer, y, x)
+    return off_x, off_y, off_s
+
+
+def _refine_cubes(dog, layer, y, x):
+    """Gather 3x3x3 candidate neighborhoods and solve the offset system.
 
     dog: (S+2, h, w); layer: (K,) interior DoG layer (1..S); y, x: (K,) int
-    grid coords. Gathers each candidate's 3x3x3 neighborhood and solves the
-    same closed-form (adjugate) 3x3 system as the grid pass — identical
-    values, but only for K candidates instead of every pixel.
-    Returns (off_x, off_y, off_s), each (K,).
-    """
-    def cube(l, yy, xx):
-        return jax.lax.dynamic_slice(dog, (l - 1, yy - 1, xx - 1), (3, 3, 3))
+    grid coords. Solves the closed-form (adjugate) 3x3 system per candidate.
+    Returns (off_x, off_y, off_s, (refined, dxx, dyy, dxy)) — the extras
+    feed the quality gates in :func:`refine_and_gate`.
 
-    C = jax.vmap(cube)(layer, y, x)                 # (K, 3, 3, 3) [s, y, x]
+    The 27-point neighborhoods are fetched as ONE flat gather of 27*K
+    scalars: a vmapped (3,3,3) dynamic_slice was the single most expensive
+    detection op on the TPU (9.3 of 35 ms/image — tiny strided slices
+    defeat the gather coalescer), while the flat gather is ~0.1 ms.
+    Out-of-range indices (only reachable for zero-score padding rows, whose
+    offsets are discarded) are clamped.
+    """
+    Sp2, h, w = dog.shape
+    ds = jnp.arange(-1, 2)
+    l_idx = jnp.clip(layer[:, None] + ds[None, :], 0, Sp2 - 1)   # (K, 3)
+    y_idx = jnp.clip(y[:, None] + ds[None, :], 0, h - 1)
+    x_idx = jnp.clip(x[:, None] + ds[None, :], 0, w - 1)
+    idx = (
+        l_idx[:, :, None, None] * (h * w)
+        + y_idx[:, None, :, None] * w
+        + x_idx[:, None, None, :]
+    )                                                # (K, 3, 3, 3) [s, y, x]
+    C = dog.reshape(-1)[idx.reshape(-1)].reshape(idx.shape)
     c = C[:, 1, 1, 1]
     gx = 0.5 * (C[:, 1, 1, 2] - C[:, 1, 1, 0])
     gy = 0.5 * (C[:, 1, 2, 1] - C[:, 1, 0, 1])
@@ -153,7 +162,8 @@ def refine_candidates(dog, layer, y, x):
     off_x = -(a00 * gx + a01 * gy + a02 * gs) * inv_det
     off_y = -(a01 * gx + a11 * gy + a12 * gs) * inv_det
     off_s = -(a02 * gx + a12 * gy + a22 * gs) * inv_det
-    return off_x, off_y, off_s
+    refined = c + 0.5 * (gx * off_x + gy * off_y + gs * off_s)
+    return off_x, off_y, off_s, (refined, dxx, dyy, dxy)
 
 
 def _maxpool2(x):

@@ -30,7 +30,7 @@ from sfm_tpu.config import FeatureConfig
 from sfm_tpu.features.pyramid import build_pyramid
 from sfm_tpu.features.detect import (
     dog_extrema_scores,
-    refine_candidates,
+    refine_and_gate,
     select_octave_candidates,
 )
 from sfm_tpu.features.descriptor import (
@@ -95,6 +95,9 @@ def _detect_impl(image, mask, config: FeatureConfig, has_mask: bool) -> Features
     oct_base = 0.5 if config.upsample_first_octave else 1.0
 
     # ---- stage 1: candidate METADATA per octave (no descriptors) ----------
+    # The grid pass scores strict extrema by raw |contrast| only; subpixel
+    # refinement and the convergence/contrast/edge gates run here, per
+    # selected candidate (see detect.dog_extrema_scores for the rationale).
     per_octave = []
     for o in range(config.num_octaves):
         fields = dog_extrema_scores(
@@ -103,9 +106,13 @@ def _detect_impl(image, mask, config: FeatureConfig, has_mask: bool) -> Features
         cands = select_octave_candidates(fields, _octave_budget(config.max_keypoints, o))
 
         layer = cands["layer"]                        # 1..S (DoG interior)
-        off_x, off_y, off_s = refine_candidates(
-            dogs[o], layer, cands["y"], cands["x"]
+        off_x, off_y, off_s, gated_score = refine_and_gate(
+            dogs[o], layer, cands["y"], cands["x"],
+            config.contrast_threshold, config.edge_threshold,
         )
+        # Selection padding (cands score 0) must stay invalid regardless of
+        # what the gates computed on its clamped neighborhood.
+        gated_score = jnp.where(cands["score"] > 0, gated_score, 0.0)
         x_o = cands["x"].astype(jnp.float32) + off_x
         y_o = cands["y"].astype(jnp.float32) + off_y
         sigma_rel = config.sigma0 * jnp.power(
@@ -119,7 +126,7 @@ def _detect_impl(image, mask, config: FeatureConfig, has_mask: bool) -> Features
                 "xy": jnp.stack([x_o * scale, y_o * scale], axis=-1),
                 "sigma": sigma_rel * scale,
                 "sigma_rel": sigma_rel,
-                "response": cands["score"],
+                "response": gated_score,
                 "grad_idx": layer - 1,
                 "x_o": x_o,
                 "y_o": y_o,
@@ -158,17 +165,25 @@ def _detect_impl(image, mask, config: FeatureConfig, has_mask: bool) -> Features
     response = response[idx]
 
     # ---- stage 3: describe ONLY the selected budget ------------------------
-    # Canvas: every octave's Gaussian stack, padded to a common width and
-    # stacked along rows. A keypoint's patch is then one dynamic_slice at
-    # (grad_layer+1, row_off[octave] + y, x) — no per-octave batches.
+    # Canvas: every octave's INTERIOR Gaussian layers (1..S — the only ones
+    # descriptors sample), padded to a common width and stacked along rows.
+    # A keypoint's patch is then one dynamic_slice at
+    # (grad_layer, row_off[octave] + y, x) — no per-octave batches.
+    S_int = S  # interior layer count
     heights = [g.shape[-2] for g in gaussians]
     widths = [g.shape[-1] for g in gaussians]
     wmax = max(max(widths), _GPATCH)
+    # f16 canvas: the per-keypoint patch slice is gather-bandwidth-bound
+    # (measured ~7 ms/img of the 28 at f32); half the bytes. f16, not bf16:
+    # bf16's 8-bit mantissa measurably perturbs descriptors (the rotation-
+    # invariance test's marginal ratio-test matches flipped, 6 -> 4), while
+    # f16's 11-bit mantissa keeps the keypoint/match set identical at the
+    # same gather bandwidth.
     canvas = jnp.concatenate(
-        [jnp.pad(g, ((0, 0), (0, max(0, _GPATCH - g.shape[-2])),
-                     (0, wmax - g.shape[-1]))) for g in gaussians],
+        [jnp.pad(g[1:S_int + 1], ((0, 0), (0, max(0, _GPATCH - g.shape[-2])),
+                                  (0, wmax - g.shape[-1]))) for g in gaussians],
         axis=1,
-    )
+    ).astype(jnp.float16)
     row_off = []
     acc = 0
     for g in gaussians:

@@ -35,6 +35,10 @@ def gaussian_blur(img: jnp.ndarray, sigma: float) -> jnp.ndarray:
     fused VPU elementwise chain (measured 658 -> 37 ms for the octave-0 blur
     stack at 1536x2048). Elementwise FMA is exact f32, so no precision flag
     is needed; output matches the HIGHEST-precision conv to ~5e-7.
+
+    The production pyramid uses :func:`gaussian_blur_mm` (banded matmuls on
+    the MXU, ~16% faster end-to-end); this exact-f32 path remains the
+    numerics oracle and the small-image (< MXU tile) path.
     """
     if sigma <= 0:
         return img
@@ -53,6 +57,59 @@ def gaussian_blur(img: jnp.ndarray, sigma: float) -> jnp.ndarray:
         for i in range(2 * radius + 1)
     )
     return out
+
+
+def _band_matrix(taps: np.ndarray, n: int) -> jnp.ndarray:
+    """(n, n) banded blur matrix built IN-GRAPH from static taps.
+
+    B[r, c] = taps[c - r + radius] for |c - r| <= radius, else 0: one
+    compare+select per tap over an iota grid. Built in-graph (not as a
+    baked numpy constant) so large band matrices don't bloat the serialized
+    executable the remote-compile tunnel uploads; XLA CSEs the build per
+    (sigma, n) within a program and hoists it out of vmap.
+    """
+    radius = (len(taps) - 1) // 2
+    r = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    d = c - r
+    B = jnp.zeros((n, n), jnp.float32)
+    for i, t in enumerate(taps):
+        B = B + jnp.where(d == (i - radius), jnp.float32(t), 0.0)
+    return B
+
+
+def gaussian_blur_mm(img: jnp.ndarray, sigma: float) -> jnp.ndarray:
+    """Gaussian blur as two banded matmuls on the MXU, SAME-zero pad.
+
+    Same taps and pad semantics as :func:`gaussian_blur`, contracted as
+    ``(img @ B_W) then (@ B_H)`` with 3-pass-bf16 precision. The shift-add
+    path re-reads the padded image once per tap through HBM (no register
+    blocking across the 9-21 term sum); the matmul reads each operand once
+    and runs at MXU rate. Measured on v5e (768x1024, batch 12): pyramid
+    8.6 -> 7.3 ms/image, |DoG| deviation <= 3e-5 — 200x below the 0.006
+    contrast gate. Small images (below one 128-lane MXU tile) keep the
+    exact shift-add path; CPU (tests) resolves HIGH precision to exact f32,
+    so the oracle comparison is bit-meaningful there.
+    """
+    if sigma <= 0:
+        return img
+    h, w = img.shape[-2], img.shape[-1]
+    if h < 128 or w < 128:  # below MXU tile: shift-add wins and stays exact
+        return gaussian_blur(img, sigma)
+    radius = max(1, int(math.ceil(3.0 * sigma)))
+    k = _gaussian_taps(sigma, radius)
+    BW = _band_matrix(k, w)
+    BH = _band_matrix(k, h)
+    x = jax.lax.dot_general(
+        img, BW, (((img.ndim - 1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGH,
+    )
+    x = jnp.swapaxes(x, -1, -2)
+    x = jax.lax.dot_general(
+        x, BH, (((x.ndim - 1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGH,
+    )
+    return jnp.swapaxes(x, -1, -2)
 
 
 def layer_sigmas(num_layers: int, sigma0: float, scales_per_octave: int):
@@ -90,7 +147,7 @@ def build_pyramid(
 
     # Bring the input up to sigma0.
     base_extra = math.sqrt(max(sigma0**2 - assumed_blur**2, 1e-8))
-    base = gaussian_blur(img, base_extra)
+    base = gaussian_blur_mm(img, base_extra)
 
     gaussians = []
     dogs = []
@@ -98,7 +155,7 @@ def build_pyramid(
         layers = [base]
         for i in range(1, S + 3):
             inc = math.sqrt(max(sigmas[i] ** 2 - sigmas[i - 1] ** 2, 1e-8))
-            layers.append(gaussian_blur(layers[-1], inc))
+            layers.append(gaussian_blur_mm(layers[-1], inc))
         g = jnp.stack(layers)
         gaussians.append(g)
         dogs.append(g[1:] - g[:-1])

@@ -69,6 +69,11 @@ def get_lib():
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
     ]
     lib.pnm_load_mask_batch.restype = ctypes.c_int
+    lib.pnm_load_gray_u8_batch.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+    ]
+    lib.pnm_load_gray_u8_batch.restype = ctypes.c_int
     _LIB = lib
     return _LIB
 
@@ -103,6 +108,27 @@ def load_gray_batch(paths: Sequence, height: int, width: int, threads: int = 0) 
     fails = lib.pnm_load_gray_batch(
         blob, len(paths), height, width,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), threads,
+    )
+    if fails:
+        raise ValueError(f"{fails} images failed to decode")
+    return out
+
+
+def load_gray_u8_batch(paths: Sequence, height: int, width: int,
+                       threads: int = 0) -> np.ndarray:
+    """Decode a batch of PNM images to (N, H, W) uint8 luma — the detection
+    frontend's wire format (normalized on device)."""
+    paths = [str(p) for p in paths]
+    lib = get_lib()
+    if lib is None:
+        from sfm_tpu.io.images import load_image_gray_u8
+
+        return np.stack([load_image_gray_u8(p) for p in paths])
+    out = np.empty((len(paths), height, width), np.uint8)
+    blob = "\n".join(paths).encode()
+    fails = lib.pnm_load_gray_u8_batch(
+        blob, len(paths), height, width,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), threads,
     )
     if fails:
         raise ValueError(f"{fails} images failed to decode")

@@ -20,7 +20,7 @@ from typing import Optional
 import numpy as np
 
 from sfm_tpu.config import SfMConfig
-from sfm_tpu.io.images import load_image_gray, load_image_gray_u16, load_mask
+from sfm_tpu.io.images import load_image_gray, load_image_gray_u8, load_mask
 from sfm_tpu.features import detect_and_describe, detect_and_describe_batch
 from sfm_tpu.matching.sweep import all_pairs_sweep, PairTable
 
@@ -83,9 +83,11 @@ class ImageMatcher:
         if not self.image_paths:
             raise FileNotFoundError(f"no images in {self.image_dir}")
         t0 = time.time()
-        # u16 luma on the wire: the tunnel's host->device path (~37 MB/s
-        # measured) made f32 pixel upload the detection bottleneck.
-        imgs = [load_image_gray_u16(p) for p in self.image_paths]
+        # u8 luma on the wire (4x fewer bytes than f32): the tunnel's
+        # host->device path (~37-47 MB/s measured) made pixel upload the
+        # detection bottleneck. u8 matches the precision the reference's own
+        # detector consumes (cv2 feeds u8 gray to FAST/ORB).
+        imgs = [load_image_gray_u8(p) for p in self.image_paths]
         masks = [self._mask_for(p) if use_mask else None for p in self.image_paths]
         from sfm_tpu.utils.transfer import device_get_chunked
 
@@ -97,6 +99,7 @@ class ImageMatcher:
                 np.stack(imgs),
                 np.stack(masks) if all_masked else None,
                 config=self.config.features,
+                batch_size=self.config.features.detect_batch,
             )
             desc_d, xy_d, valid_d = f.desc, f.xy, f.valid
         else:

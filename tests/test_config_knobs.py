@@ -92,6 +92,34 @@ class TestMaskDilate:
         xs = np.asarray(f8.xy[np.asarray(f8.valid), 0])
         assert xs.max() <= 64 + 8 + 1.5
 
+    def test_detect_batch_reaches_frontend(self, tmp_path, monkeypatch):
+        """features.detect_batch is the sub-batch size of the batched
+        detection dispatch in ImageMatcher.detect_all."""
+        from sfm_tpu.matching import api as mapi
+        from sfm_tpu.io.images import load_image_gray_u16  # noqa: F401
+
+        img_dir = tmp_path / "images"
+        img_dir.mkdir()
+        rng = np.random.default_rng(0)
+        for i in range(3):
+            arr = rng.integers(0, 255, (16, 16), dtype=np.uint8)
+            body = arr.tobytes()
+            (img_dir / f"{i:04d}.pgm").write_bytes(
+                b"P5\n16 16\n255\n" + body)
+
+        seen = {}
+
+        def fake_batch(images, masks=None, config=None, batch_size=4):
+            seen["batch_size"] = batch_size
+            raise RuntimeError("stop")
+
+        monkeypatch.setattr(mapi, "detect_and_describe_batch", fake_batch)
+        cfg = SfMConfig(features=FeatureConfig(detect_batch=7))
+        m = mapi.ImageMatcher(tmp_path, cfg, output_dir=tmp_path)
+        with pytest.raises(RuntimeError):
+            m.detect_all(use_mask=False)
+        assert seen["batch_size"] == 7
+
 
 class TestDenseSchur:
     def test_dense_matches_pcg(self):
