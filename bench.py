@@ -54,6 +54,51 @@ def get_features(cfg):
     return xy_h, desc_h, valid_h
 
 
+def bench_detect():
+    """Feature-frontend throughput on the 36 bunny images (imgs/s).
+
+    Times the production path (u8 wire + batched vmapped detection) warm:
+    reference CPU FAST+ORB measured 138 imgs/s (BASELINE_MEASURED.json).
+    Returns (imgs_per_sec_device_resident, imgs_per_sec_with_upload).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from sfm_tpu.config import FeatureConfig
+    from sfm_tpu.io.native import load_gray_u8_batch, load_mask_batch, probe
+    from sfm_tpu.features import detect_and_describe_batch
+
+    imgs = sorted((BUNNY / "images").glob("*.ppm"))
+    masks = sorted((BUNNY / "silhouettes").glob("*.pgm"))
+    if not imgs:
+        return float("nan"), float("nan")
+    h, w, _ = probe(imgs[0])
+    cfg = FeatureConfig()
+    gray = load_gray_u8_batch(imgs, h, w)
+    mk = load_mask_batch(masks, h, w)
+    n = len(imgs)
+
+    def run(im, mks):
+        f = detect_and_describe_batch(im, mks, config=cfg,
+                                      batch_size=cfg.detect_batch)
+        return float(np.asarray(f.valid[:, :1]).sum())  # tunnel-safe sync
+
+    run(gray, mk)  # compile + executable finalization
+    t_up = []
+    for _ in range(3):
+        t0 = time.time()
+        run(gray, mk)
+        t_up.append(time.time() - t0)
+    gray_d, mk_d = jnp.asarray(gray), jnp.asarray(mk)
+    float(jnp.sum(gray_d[0, 0, :8]))
+    t_dev = []
+    for _ in range(3):
+        t0 = time.time()
+        run(gray_d, mk_d)
+        t_dev.append(time.time() - t0)
+    return n / float(np.median(t_dev)), n / float(np.median(t_up))
+
+
 def bench_ba(n_cams=100, n_pts=20000, obs_per_cam=2000, lm_iters=10):
     """LM iterations/sec on a mid-size synthetic BA problem (BASELINE.json
     metric #2). Returns (iters_per_sec, rms_px)."""
@@ -213,6 +258,7 @@ def main():
 
     accepted = int(np.sum(np.concatenate([np.asarray(o["accept"]) for o in outs])[:P]))
 
+    det_dev, det_up = bench_detect()
     ba_ips, ba_rms = bench_ba()
     # The scalable (PCG) path at the regime large scenes actually use —
     # driver-tracked so regressions there are visible (round-2 verdict #5).
@@ -237,6 +283,9 @@ def main():
                     "sweep_spread_pct": round(spread_pct, 1),
                     "accepted_pairs": accepted,
                     "baseline_pairs_per_sec": base if base == base else None,
+                    "detect_imgs_per_sec": round(det_dev, 1),
+                    "detect_imgs_per_sec_with_upload": round(det_up, 1),
+                    "detect_baseline_imgs_per_sec": 138.0,
                     "ba_lm_iters_per_sec": round(ba_ips, 2),
                     "ba_bench_rms_px": round(ba_rms, 3),
                     "ba_bench_size": "100 cams / 20k pts / 200k obs",

@@ -49,6 +49,9 @@ def _add_common(p: argparse.ArgumentParser):
                    help="JSON file of SfMConfig overrides (full schema: "
                         "python -c 'from sfm_tpu.config import SfMConfig; "
                         "print(SfMConfig().to_json())')")
+    p.add_argument("--global_init", action="store_true",
+                   help="global SfM: rotation+translation averaging over the "
+                        "pair graph instead of incremental growth")
 
 
 def parse_args(argv=None) -> argparse.Namespace:
@@ -120,6 +123,10 @@ def main(argv=None) -> int:
         if pargs.min_matches != 20:
             cfg = cfg.replace(
                 pnp=dataclasses.replace(cfg.pnp, min_matches=pargs.min_matches)
+            )
+        if getattr(args, "global_init", False):
+            cfg = cfg.replace(
+                global_init=dataclasses.replace(cfg.global_init, enabled=True)
             )
         pipe = SfMPipeline(pargs, cfg)
         if args.command == "preprocess":

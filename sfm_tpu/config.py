@@ -152,6 +152,11 @@ class TriangulationConfig:
                                        # (1 = reference behavior; >1 trades
                                        # point freshness for loop wall-clock)
     min_parallax_deg: float = 0.0      # optional parallax gate (0 = off, ref has none)
+    robust_rounds: int = 1             # outlier-view re-solve rounds in the
+                                       # multi-view DLT: one wrong match in a
+                                       # track no longer vetoes the whole
+                                       # point (0 = the reference-style
+                                       # all-views gate)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -234,6 +239,33 @@ class SelectConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class GlobalInitConfig:
+    """Global SfM initialization (rotation + translation averaging).
+
+    Beyond-reference capability (the reference only grows incrementally from
+    a two-view seed, sfm_reconstruction.py:61-155): solve every camera pose
+    at once from the verified-pair graph, triangulate all tracks, then
+    polish with global BA. See reconstruction/global_init.py.
+    """
+    enabled: bool = False              # pipeline uses run_global_reconstruction
+    min_pair_inliers: int = 15         # pairs entering the averaging problem
+    power_iters: int = 48              # spectral power-iteration steps
+    refine_iters: int = 10             # Lie-algebra IRLS rounds on rotations
+                                       # (annealed Huber; the workhorse — the
+                                       # spectral init alone is fragile when
+                                       # the graph carries outlier pairs)
+    als_rounds: int = 3                # translation IRLS reweighting rounds
+    cg_iters: int = 80                 # CG iterations per ridge solve
+    cycle_sigma_deg: float = 15.0      # soft cycle-consistency edge weight
+                                       # scale (0 disables); contains the
+                                       # false-consensus pairs a 2-view gate
+                                       # cannot see
+    tri_relax: float = 3.0             # first-pass triangulation gate multiplier
+                                       # (averaged poses are pre-BA: a strict
+                                       # gate would reject most true points)
+
+
+@dataclasses.dataclass(frozen=True)
 class CameraConfig:
     """Shared pinhole intrinsics (sfm_reconstruction.py:40-49)."""
     width: int = 1024
@@ -267,6 +299,7 @@ class SfMConfig:
     triangulation: TriangulationConfig = dataclasses.field(default_factory=TriangulationConfig)
     ba: BAConfig = dataclasses.field(default_factory=BAConfig)
     select: SelectConfig = dataclasses.field(default_factory=SelectConfig)
+    global_init: GlobalInitConfig = dataclasses.field(default_factory=GlobalInitConfig)
     camera: CameraConfig = dataclasses.field(default_factory=CameraConfig)
     sharding: ShardingConfig = dataclasses.field(default_factory=ShardingConfig)
     seed: int = 0
@@ -302,8 +335,8 @@ class SfMConfig:
                 "features": FeatureConfig, "matching": MatchConfig,
                 "verify": VerifyConfig, "pnp": PnPConfig,
                 "triangulation": TriangulationConfig, "ba": BAConfig,
-                "select": SelectConfig, "camera": CameraConfig,
-                "sharding": ShardingConfig,
+                "select": SelectConfig, "global_init": GlobalInitConfig,
+                "camera": CameraConfig, "sharding": ShardingConfig,
             }.get(f.name)
             if sub is not None:
                 unknown = set(v) - {sf.name for sf in dataclasses.fields(sub)}

@@ -178,7 +178,10 @@ class SfMPipeline:
             with stage("reconstruct", self.metrics), self._maybe_trace():
                 sfm = StructureFromMotion(table, xy, self.config, metrics=self.metrics,
                                           desc=desc, feat_valid=feat_valid)
-                self.result = sfm.run_reconstruction(self.args.num_images)
+                if self.config.global_init.enabled:
+                    self.result = sfm.run_global_reconstruction()
+                else:
+                    self.result = sfm.run_reconstruction(self.args.num_images)
             for k in ("num_cameras", "num_points", "mean_reprojection_error"):
                 self.metrics.log(f"reconstruction/{k}", self.result.stats[k])
             recon_dir = self.output_dir / "reconstruction"

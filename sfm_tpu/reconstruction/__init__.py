@@ -8,3 +8,8 @@ programs (SURVEY.md section 7 step 5).
 
 from sfm_tpu.reconstruction.tracks import build_tracks, TrackTable  # noqa: F401
 from sfm_tpu.reconstruction.incremental import StructureFromMotion, ReconstructionResult  # noqa: F401
+from sfm_tpu.reconstruction.global_init import (  # noqa: F401
+    global_poses,
+    rotation_averaging,
+    translation_averaging,
+)

@@ -1,0 +1,534 @@
+"""Global SfM initialization: rotation + translation averaging on the MXU.
+
+A capability the reference does not have (its only initialization is the
+two-view seed + one-at-a-time incremental growth, ref
+sfm_reconstruction.py:61-155, :633-709): solve for ALL camera poses at once
+from the verified pair graph, then triangulate everything and polish with
+global bundle adjustment. On well-connected scenes this replaces O(N)
+sequential register->BA rounds (each a host-driven device dispatch) with a
+handful of batched device programs, and it is immune to the drift/ordering
+sensitivity of incremental growth.
+
+TPU-first design notes:
+- every stage is a fixed-shape batched program: relative poses for all P
+  accepted pairs in one vmapped dispatch; rotation averaging as power
+  iteration on a (3N, 3N) block matrix (pure matmuls on the MXU); the
+  Lie-algebra refinement and translation averaging as graph-Laplacian CG
+  solves with unrolled, loop-free iterations (remote-TPU tunnel: lowered
+  while-loops are compile bombs, see utils/linalg.py).
+- no SVD / eigh anywhere: proper-rotation projection is the Davenport
+  quaternion method driven by unrolled power iteration (4x4), and the
+  spectral basis comes from plain power iteration + closed-form 3-column
+  Gram-Schmidt.
+
+References: Martinec & Pajdla CVPR'07 (spectral rotation averaging),
+Chatterjee & Govindu ICCV'13 (Lie-algebraic refinement), Govindu CVPR'04
+(translation registration); implementation is original and loop-free.
+"""
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from sfm_tpu.geometry.epipolar import eight_point, recover_pose
+from sfm_tpu.geometry.rotations import rodrigues, rotation_to_rvec
+from sfm_tpu.utils.linalg import _chol_unrolled, _chol_solve_unrolled
+from sfm_tpu.utils.precision import f32_matmuls
+
+logger = logging.getLogger(__name__)
+
+_EPS = 1e-12
+
+
+def _skew3(v):
+    zero = jnp.zeros((), v.dtype)
+    return jnp.array(
+        [[zero, -v[2], v[1]], [v[2], zero, -v[0]], [-v[1], v[0], zero]]
+    )
+
+
+def _solve6(H, g):
+    """SPD 6x6 solve via the fully-unrolled Cholesky (utils.linalg) — the
+    lowered LU of jnp.linalg.solve is a while-loop program the remote-TPU
+    tunnel compiles pathologically slowly."""
+    L, _bad = _chol_unrolled(H)
+    return _chol_solve_unrolled(L, g)
+
+
+# --------------------------------------------------------------------------
+# Relative poses for all accepted pairs (one vmapped program)
+# --------------------------------------------------------------------------
+
+
+def pairwise_relative_poses(table, K, min_inliers: int = 15,
+                            refine_gn_iters: int = 10):
+    """Relative (R_ij, t_ij) for every accepted pair with enough inliers.
+
+    Per pair: re-estimate E by the weighted 8-point solve on the pair's
+    inlier matches in NORMALIZED camera coordinates (markedly more accurate
+    than E = K^T F K of the stored pixel-space F — measured on the bunny
+    artifacts: rel-rotation median 19.5 -> 8.9 deg), cheirality-disambiguate
+    (recover_pose, the cv2.recoverPose equivalent used at ref
+    sfm_reconstruction.py:85-88), then polish (R, t) with ``refine_gn_iters``
+    Gauss-Newton steps on the Sampson error of E = [t]x R (t-direction
+    median 21 -> 5 deg on the same data). One vmapped jitted program over
+    all pairs; the GN loop is python-unrolled (no lowered while-loop — the
+    remote-TPU tunnel compiles those pathologically).
+
+    Convention: x_j = R_ij x_i + t_ij with |t_ij| = 1.
+
+    Returns dict of host arrays: ``pairs`` (P, 2) int32, ``R`` (P, 3, 3),
+    ``t`` (P, 3), ``weight`` (P,) float32 (inlier count).
+    """
+    rows = np.nonzero(table.accept & (table.num_inliers >= min_inliers))[0]
+    # Pairless-image rescues may sit below min_inliers: keep an image's best
+    # pair regardless so averaging covers every connected camera.
+    deg = np.zeros(int(table.pairs.max(initial=0)) + 1, np.int64)
+    for p in rows:
+        i, j = table.pairs[p]
+        deg[i] += 1
+        deg[j] += 1
+    for p in np.nonzero(table.accept)[0]:
+        i, j = table.pairs[p]
+        if deg[i] == 0 or deg[j] == 0:
+            rows = np.append(rows, p)
+            deg[i] += 1
+            deg[j] += 1
+    rows = np.unique(rows)
+    if len(rows) == 0:
+        raise ValueError("no accepted pairs to average over")
+
+    K = np.asarray(K, np.float32)
+    f = np.array([K[0, 0], K[1, 1]], np.float32)
+    c = np.array([K[0, 2], K[1, 2]], np.float32)
+    xn1 = jnp.asarray((table.xy1[rows] - c) / f)
+    xn2 = jnp.asarray((table.xy2[rows] - c) / f)
+    w = jnp.asarray(table.inliers[rows] & table.match_valid[rows], jnp.float32)
+    eye3 = jnp.eye(3, dtype=jnp.float32)
+
+    def _sampson(params, x1, x2, wts):
+        rv, t = params[:3], params[3:]
+        E = _skew3(t) @ rodrigues(rv)
+        x1h = jnp.concatenate([x1, jnp.ones((x1.shape[0], 1))], 1)
+        x2h = jnp.concatenate([x2, jnp.ones((x2.shape[0], 1))], 1)
+        Ex1 = x1h @ E.T
+        Etx2 = x2h @ E
+        num = jnp.sum(x2h * Ex1, 1)
+        den = Ex1[:, 0] ** 2 + Ex1[:, 1] ** 2 + Etx2[:, 0] ** 2 + Etx2[:, 1] ** 2
+        return wts * num / jnp.sqrt(jnp.maximum(den, 1e-12))
+
+    @jax.jit
+    @f32_matmuls
+    def _all(xn1, xn2, w):
+        def one(x1, x2, w1):
+            E = eight_point(x1, x2, weights=w1)
+            n, R, t, mask = recover_pose(E, x1, x2, eye3, weights=w1)
+            params = jnp.concatenate([rotation_to_rvec(R), t])
+            wr = w1 * mask
+            for _ in range(refine_gn_iters):
+                J = jax.jacfwd(_sampson)(params, x1, x2, wr)
+                r = _sampson(params, x1, x2, wr)
+                H = J.T @ J
+                # Gauge: E is invariant to |t| — block that null direction,
+                # ridge relative to H's own scale, clip the step (GN on a
+                # nonconvex residual needs the trust region).
+                tdir = jnp.concatenate([jnp.zeros(3), params[3:]])
+                H = H + jnp.outer(tdir, tdir) + (
+                    1e-4 * jnp.trace(H) / 6 + 1e-12) * jnp.eye(6)
+                step = _solve6(H, J.T @ r)
+                step = step * jnp.minimum(
+                    1.0, 0.5 / jnp.maximum(jnp.linalg.norm(step), 1e-12))
+                params = params - step
+                params = params.at[3:].set(
+                    params[3:] / jnp.maximum(jnp.linalg.norm(params[3:]), 1e-9))
+            # Re-resolve the (R, t) sign ambiguity of the refined E by
+            # cheirality (GN can wander to the twisted pair).
+            E2 = _skew3(params[3:]) @ rodrigues(params[:3])
+            n2, R2, t2, _ = recover_pose(E2, x1, x2, eye3, weights=w1)
+            return R2, t2, n2
+
+        return jax.vmap(one)(xn1, xn2, w)
+
+    R, t, n_good = _all(xn1, xn2, w)
+    return {
+        "pairs": table.pairs[rows].astype(np.int32),
+        "R": np.asarray(R),
+        "t": np.asarray(t),
+        "weight": np.asarray(table.num_inliers[rows], np.float32),
+        "cheirality_good": np.asarray(n_good),
+    }
+
+
+# --------------------------------------------------------------------------
+# Proper-rotation projection (Davenport quaternion, no SVD)
+# --------------------------------------------------------------------------
+
+
+def nearest_rotation(A):
+    """Nearest det=+1 rotation to (..., 3, 3) via the Davenport q-method.
+
+    The maximizing quaternion of q^T B(A) q (B the symmetric 4x4 Davenport
+    matrix) gives the closest proper rotation in Frobenius norm — unlike the
+    orthogonal polar factor, this lands in SO(3) even when det(A) < 0.
+    Power iteration on B + c I (unrolled, no eigh).
+    """
+    A = jnp.asarray(A)
+    ax, ay, az = A[..., 0, :], A[..., 1, :], A[..., 2, :]
+    # B rows/cols ordered (w, x, y, z).
+    a11, a12, a13 = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    a21, a22, a23 = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    a31, a32, a33 = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    B = jnp.stack(
+        [
+            jnp.stack([a11 + a22 + a33, a32 - a23, a13 - a31, a21 - a12], -1),
+            jnp.stack([a32 - a23, a11 - a22 - a33, a12 + a21, a13 + a31], -1),
+            jnp.stack([a13 - a31, a12 + a21, a22 - a11 - a33, a23 + a32], -1),
+            jnp.stack([a21 - a12, a13 + a31, a23 + a32, a33 - a11 - a22], -1),
+        ],
+        -2,
+    )
+    # Shift so the target (largest) eigenvalue dominates in magnitude.
+    c = jnp.linalg.norm(A, axis=(-2, -1), keepdims=True) * 2.0 + 1e-6
+    Bs = B + c * jnp.eye(4, dtype=A.dtype)
+    q = jnp.ones(A.shape[:-2] + (4,), A.dtype)
+    for _ in range(24):
+        q = jnp.einsum("...ij,...j->...i", Bs, q)
+        q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), _EPS)
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    return jnp.stack(
+        [
+            jnp.stack([1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)], -1),
+            jnp.stack([2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)], -1),
+            jnp.stack([2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)], -1),
+        ],
+        -2,
+    )
+
+
+def _log_so3(R):
+    """Rotation log (..., 3, 3) -> (..., 3), branchless small/large-angle."""
+    tr = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
+    cos_t = jnp.clip((tr - 1.0) * 0.5, -1.0, 1.0)
+    theta = jnp.arccos(cos_t)
+    v = jnp.stack(
+        [
+            R[..., 2, 1] - R[..., 1, 2],
+            R[..., 0, 2] - R[..., 2, 0],
+            R[..., 1, 0] - R[..., 0, 1],
+        ],
+        -1,
+    )
+    sin_t = jnp.maximum(jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0)), _EPS)
+    # theta/(2 sin theta), series-safe at 0; near pi the skew part vanishes
+    # but averaging residuals there are outlier-sized anyway and Huber-capped.
+    scale = jnp.where(theta < 1e-4, 0.5 + theta * theta / 12.0, theta / (2.0 * sin_t))
+    return v * scale[..., None]
+
+
+# --------------------------------------------------------------------------
+# Rotation averaging
+# --------------------------------------------------------------------------
+
+
+def _gram_schmidt3(X):
+    """Orthonormalize the 3 columns of (M, 3), closed form."""
+    c0 = X[:, 0] / jnp.maximum(jnp.linalg.norm(X[:, 0]), _EPS)
+    c1 = X[:, 1] - (c0 @ X[:, 1]) * c0
+    c1 = c1 / jnp.maximum(jnp.linalg.norm(c1), _EPS)
+    c2 = X[:, 2] - (c0 @ X[:, 2]) * c0 - (c1 @ X[:, 2]) * c1
+    c2 = c2 / jnp.maximum(jnp.linalg.norm(c2), _EPS)
+    return jnp.stack([c0, c1, c2], axis=1)
+
+
+def rotation_averaging(
+    pairs, R_rel, weights, num_images, power_iters: int = 48, refine_iters: int = 10
+):
+    """Absolute rotations (N, 3, 3) from pairwise R_ij (x_j = R_ij x_i ...).
+
+    Spectral initialization (power iteration on the weighted block matrix
+    G_ij = R_ij^T for i<j — its top-3 eigenspace stacks the absolute
+    rotations up to one global gauge) followed by ``refine_iters`` rounds of
+    Lie-algebra IRLS: linearize R_j ~ exp(d_j) R_j around the estimate, solve
+    the weighted graph Laplacian for the per-camera tangent updates with
+    Huber-downweighted residuals (robustness the spectral step lacks).
+    Cameras not touched by any pair get the identity.
+
+    Everything is one jitted loop-free program: the (3N, 3N) x (3N, 3)
+    power-iteration matmuls and the (N, N) Laplacian CG run on the MXU.
+    """
+    P = pairs.shape[0]
+    N = num_images
+    i_idx = jnp.asarray(pairs[:, 0], jnp.int32)
+    j_idx = jnp.asarray(pairs[:, 1], jnp.int32)
+    Rr = jnp.asarray(R_rel, jnp.float32)
+    w = jnp.asarray(weights, jnp.float32)
+    w = w / jnp.maximum(jnp.mean(w), _EPS)
+
+    @jax.jit
+    @f32_matmuls
+    def _solve(i_idx, j_idx, Rr, w):
+        # ---- spectral init -------------------------------------------------
+        # G[3i:3i+3, 3j:3j+3] = w R_ij^T (and transpose block at (j, i)):
+        # for Z stacking Z_i = R_i, G_ij Z_j = R_ij^T R_j = R_i.
+        rows3 = (3 * i_idx[:, None, None] + jnp.arange(3)[None, :, None])
+        cols3 = (3 * j_idx[:, None, None] + jnp.arange(3)[None, None, :])
+        G = jnp.zeros((3 * N, 3 * N), jnp.float32)
+        Rt_w = jnp.swapaxes(Rr, -1, -2) * w[:, None, None]
+        G = G.at[rows3, cols3].add(Rt_w)
+        G = G.at[jnp.swapaxes(cols3, -1, -2), jnp.swapaxes(rows3, -1, -2)].add(
+            jnp.swapaxes(Rt_w, -1, -2)
+        )
+        # Degree-normalize (random-walk) + identity: keeps untouched cameras
+        # stable and the iteration well conditioned.
+        deg = jnp.zeros((N,), jnp.float32)
+        deg = deg.at[i_idx].add(w).at[j_idx].add(w)
+        dinv = 1.0 / jnp.maximum(deg, 1.0)
+        Gn = G * jnp.repeat(dinv, 3)[:, None]
+
+        X = jnp.tile(jnp.eye(3, dtype=jnp.float32), (N, 1))  # (3N, 3)
+        for _ in range(power_iters):
+            X = Gn @ X + X  # (I + D^-1 G): shifts the spectrum positive
+            X = _gram_schmidt3(X)
+        blocks = X.reshape(N, 3, 3)
+        # Shared gauge: align so camera blocks are near rotations, then
+        # project each to SO(3). det sign is global (shared mixing matrix);
+        # nearest_rotation lands in SO(3) either way.
+        R0 = nearest_rotation(blocks)  # (N, 3, 3)
+
+        # ---- Lie-algebra IRLS refinement ----------------------------------
+        def refine(R_abs, delta):
+            # Residual rotation per pair: E_ij = R_j^T R_ij R_i. With the
+            # right-multiplicative update R <- R exp(delta),
+            #   E'_ij = exp(-delta_j) E_ij exp(delta_i),
+            # so to first order r' = r - delta_j + delta_i where r = log E_ij:
+            # solve the graph-Laplacian LSQ for delta with delta_j - delta_i
+            # = r (Huber-downweighted), then apply on the right.
+            Ri = R_abs[i_idx]
+            Rj = R_abs[j_idx]
+            Eij = jnp.einsum("pba,pbc,pcd->pad", Rj, Rr, Ri)  # R_j^T R_ij R_i
+            r = _log_so3(Eij)  # (P, 3)
+            rn = jnp.linalg.norm(r, axis=-1)
+            huber = jnp.where(rn > delta, delta / jnp.maximum(rn, _EPS), 1.0)
+            wp = w * huber
+            L = jnp.zeros((N, N), jnp.float32)
+            L = L.at[i_idx, j_idx].add(-wp).at[j_idx, i_idx].add(-wp)
+            L = L.at[i_idx, i_idx].add(wp).at[j_idx, j_idx].add(wp)
+            L = L + 1e-6 * jnp.eye(N, dtype=jnp.float32)
+            b = jnp.zeros((N, 3), jnp.float32)
+            b = b.at[j_idx].add(wp[:, None] * r).at[i_idx].add(-wp[:, None] * r)
+            d = _cg(L, b, iters=32)
+            # exp(delta) via second-order series projected back to SO(3).
+            dx, dy, dz = d[..., 0], d[..., 1], d[..., 2]
+            zeros = jnp.zeros_like(dx)
+            S = jnp.stack(
+                [
+                    jnp.stack([zeros, -dz, dy], -1),
+                    jnp.stack([dz, zeros, -dx], -1),
+                    jnp.stack([-dy, dx, zeros], -1),
+                ],
+                -2,
+            )
+            dR = nearest_rotation(jnp.eye(3) + S + 0.5 * (S @ S))
+            return R_abs @ dR
+
+        # Annealed Huber: the first rounds keep a wide basin (the spectral
+        # init can be far off when the graph carries outlier pairs — small
+        # graphs give them real spectral weight), the later rounds shrink
+        # the scale so outliers are effectively excised.
+        for k in range(refine_iters):
+            delta = max(0.3 * (0.6 ** k), 0.02)
+            R0 = refine(R0, delta)
+        return R0
+
+    return np.asarray(_solve(i_idx, j_idx, Rr, w))
+
+
+def _cg(A, b, iters: int):
+    """Unrolled conjugate gradient for SPD (N, N) against (N, k) RHS.
+
+    Loop-free (python-unrolled): each step is one (N, N) @ (N, k) matvec +
+    scalar recurrences — fused by XLA, no lowered while-loop (tunnel rule).
+    """
+    x = jnp.zeros_like(b)
+    r = b
+    p = r
+    rs = jnp.sum(r * r)
+    for _ in range(iters):
+        Ap = A @ p
+        alpha = rs / jnp.maximum(jnp.sum(p * Ap), _EPS)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        rs_new = jnp.sum(r * r)
+        p = r + (rs_new / jnp.maximum(rs, _EPS)) * p
+        rs = rs_new
+    return x
+
+
+# --------------------------------------------------------------------------
+# Translation averaging
+# --------------------------------------------------------------------------
+
+
+def translation_averaging(
+    pairs, R_abs, t_rel, weights, num_images,
+    als_rounds: int = 3, cg_iters: int = 80,
+):
+    """Camera centers (N, 3) from pairwise baseline directions.
+
+    With x_j = R_ij x_i + t_ij and centers C: C_j - C_i = -R_j^T t_ij, i.e.
+    each pair fixes the *direction* (and sign) of the world baseline
+    d_p = unit(-R_j^T t_ij). Minimizing the projection residual
+
+        E(C) = sum_p w_p | (I - d_p d_p^T)(C_j - C_i) |^2  =  C^T M C
+
+    has the true embedding C* in (or near) M's null space, alongside the
+    trivial collapse C = const. Instead of an eigensolve we exploit the
+    measured SIGNS: with q defined by q^T C = sum_p w_p d_p . (C_j - C_i)
+    (positive at C*, zero at any collapse), the ridge solve
+
+        (M + eps I) C = q
+
+    concentrates on the near-null direction with the correct orientation —
+    one unrolled-CG solve on the MXU, no eigensolver, no slow alternation.
+    ``als_rounds`` are IRLS reweighting rounds (Huber on the per-pair
+    angular residual) that contain outlier directions. Scale gauge is set
+    afterwards: median measured baseline = 1 (matches the incremental
+    path's |t| = 1 seed convention). Cameras in no pair sit at the origin
+    (they are re-localized later by guided PnP).
+    """
+    N = num_images
+    i_idx = jnp.asarray(pairs[:, 0], jnp.int32)
+    j_idx = jnp.asarray(pairs[:, 1], jnp.int32)
+    w = jnp.asarray(weights, jnp.float32)
+    w = w / jnp.maximum(jnp.mean(w), _EPS)
+    Rj = jnp.asarray(R_abs, jnp.float32)[j_idx]
+    d = -jnp.einsum("pba,pb->pa", Rj, jnp.asarray(t_rel, jnp.float32))
+    d = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), _EPS)
+
+    @jax.jit
+    @f32_matmuls
+    def _solve(i_idx, j_idx, d, w):
+        eye3 = jnp.eye(3, dtype=jnp.float32)
+        Proj = eye3[None] - d[:, :, None] * d[:, None, :]  # (P, 3, 3)
+        rows3 = 3 * i_idx[:, None, None] + jnp.arange(3)[None, :, None]
+        cols3 = 3 * j_idx[:, None, None] + jnp.arange(3)[None, None, :]
+        rows_t = jnp.swapaxes(rows3, -1, -2)
+        cols_t = jnp.swapaxes(cols3, -1, -2)
+
+        def assemble(wp):
+            B = wp[:, None, None] * Proj
+            M = jnp.zeros((3 * N, 3 * N), jnp.float32)
+            M = M.at[rows3, rows_t].add(B).at[cols_t, cols3].add(B)
+            M = M.at[rows3, cols3].add(-B).at[cols_t, rows_t].add(-B)
+            q = jnp.zeros((N, 3), jnp.float32)
+            q = q.at[j_idx].add(wp[:, None] * d).at[i_idx].add(-wp[:, None] * d)
+            return M, q.reshape(-1)
+
+        C = jnp.zeros((N, 3), jnp.float32)
+        wp = w
+        for k in range(max(als_rounds, 1)):
+            if k > 0:
+                base = C[j_idx] - C[i_idx]
+                bn = jnp.maximum(jnp.linalg.norm(base, axis=-1), _EPS)
+                sin_res = jnp.linalg.norm(
+                    base - jnp.einsum("pa,pa->p", base, d)[:, None] * d, axis=-1
+                ) / bn
+                wp = w * jnp.where(sin_res > 0.05, 0.05 / sin_res, 1.0)
+            M, q = assemble(wp)
+            eps = 1e-3 * jnp.trace(M) / (3 * N) + 1e-8
+            x = _cg(M + eps * jnp.eye(3 * N, dtype=jnp.float32),
+                    q[:, None], iters=cg_iters)[:, 0]
+            C = x.reshape(N, 3)
+            C = C - jnp.mean(C, axis=0, keepdims=True)
+        return C
+
+    C = np.asarray(_solve(i_idx, j_idx, d, w))
+    # Scale gauge: median baseline length = 1 (host-side — jnp.median lowers
+    # to a sort, a known compile bomb through the remote-TPU tunnel).
+    base = np.linalg.norm(C[np.asarray(j_idx)] - C[np.asarray(i_idx)], axis=-1)
+    med = float(np.median(base)) if len(base) else 1.0
+    return C / max(med, 1e-12)
+
+
+def cycle_consistency_weights(pairs, R_rel, sigma_deg: float = 15.0,
+                              max_triangles: int = 8, floor: float = 1e-3):
+    """Per-edge soft weight from rotation cycle consistency (Zach CVPR'10
+    idea, soft variant): an edge whose measured R_ij disagrees with the
+    compositions through common neighbors is downweighted by
+    exp(-(median_cycle_angle / sigma)^2), floored (never zeroed — hard
+    removal can disconnect the graph and with it the averaging gauge).
+
+    Host-side numpy: runs once per scene over P edges x <= max_triangles
+    sampled triangles; identifies the reference-artifact graph's
+    false-consensus pairs (verified on bunny: kept edges' median GT error
+    2.8 deg vs dropped edges' 16-30 deg).
+    """
+    P = len(pairs)
+    Rmap = {}
+    adj = {}
+    for p in range(P):
+        i, j = int(pairs[p, 0]), int(pairs[p, 1])
+        Rmap[(i, j)] = R_rel[p]
+        Rmap[(j, i)] = R_rel[p].T
+        adj.setdefault(i, []).append(j)
+        adj.setdefault(j, []).append(i)
+    adj = {k: set(v) for k, v in adj.items()}
+    ang = np.full(P, 90.0, np.float32)
+    for p in range(P):
+        i, j = int(pairs[p, 0]), int(pairs[p, 1])
+        common = list(adj[i] & adj[j])[:max_triangles]
+        if not common:
+            continue
+        errs = []
+        for k in common:
+            C = Rmap[(i, j)] @ Rmap[(k, i)] @ Rmap[(j, k)]
+            tr = np.clip((np.trace(C) - 1.0) * 0.5, -1.0, 1.0)
+            errs.append(np.degrees(np.arccos(tr)))
+        ang[p] = np.median(errs)
+    return np.maximum(np.exp(-((ang / sigma_deg) ** 2)), floor).astype(np.float32)
+
+
+# --------------------------------------------------------------------------
+# Top-level: poses for the whole scene
+# --------------------------------------------------------------------------
+
+
+def global_poses(table, K, num_images, config=None):
+    """Solve all camera poses from the verified-pair table.
+
+    Returns (rvec (N, 3), tvec (N, 3), placed (N,) bool) in the engine's
+    x_cam = R x_world + t convention (t = -R C). ``placed`` marks cameras
+    covered by at least one averaging pair; the rest keep identity and are
+    left to guided registration.
+    """
+    from sfm_tpu.config import GlobalInitConfig
+
+    cfg = config or GlobalInitConfig()
+    rel = pairwise_relative_poses(table, K, min_inliers=cfg.min_pair_inliers)
+    P = rel["pairs"].shape[0]
+    w = rel["weight"]
+    if cfg.cycle_sigma_deg > 0:
+        cyc = cycle_consistency_weights(
+            rel["pairs"], rel["R"], sigma_deg=cfg.cycle_sigma_deg)
+        w = w * cyc
+        logger.info(
+            "global init: averaging over %d pairs (%d cycle-downweighted)",
+            P, int((cyc < 0.5).sum()))
+    else:
+        logger.info("global init: averaging over %d pairs", P)
+    R_abs = rotation_averaging(
+        rel["pairs"], rel["R"], w, num_images,
+        power_iters=cfg.power_iters, refine_iters=cfg.refine_iters,
+    )
+    C = translation_averaging(
+        rel["pairs"], R_abs, rel["t"], w, num_images,
+        als_rounds=cfg.als_rounds, cg_iters=cfg.cg_iters,
+    )
+    placed = np.zeros(num_images, bool)
+    placed[rel["pairs"].ravel()] = True
+    rvec = np.asarray(rotation_to_rvec(jnp.asarray(R_abs)), np.float32)
+    tvec = -np.einsum("nab,nb->na", R_abs, C).astype(np.float32)
+    return rvec, tvec, placed

@@ -41,11 +41,12 @@ logger = logging.getLogger(__name__)
 
 
 
-@partial(jax.jit, static_argnames=("max_err", "min_parallax_deg"))
+@partial(jax.jit, static_argnames=("max_err", "min_parallax_deg", "robust_rounds"))
 def _triangulate_tracks(
     view_img, view_xy, view_valid, rvec, tvec, registered, K, active,
     max_err: float = 4.0,
     min_parallax_deg: float = 0.0,
+    robust_rounds: int = 1,
 ):
     """Triangulate every active track from its registered views.
 
@@ -69,12 +70,24 @@ def _triangulate_tracks(
 
     def one(img_row, xy_row, use_row):
         Ps = P_all[jnp.clip(img_row, 0, C - 1)]            # (V, 3, 4)
-        X = triangulate_multiview(Ps, xy_row, use_row)
-        # Reprojection + cheirality over used views.
         R_v = Rs[jnp.clip(img_row, 0, C - 1)]
         t_v = tvec[jnp.clip(img_row, 0, C - 1)]
+        X = triangulate_multiview(Ps, xy_row, use_row)
+        # Reprojection + cheirality over used views.
         proj, depth = project(X[None, :], R_v, t_v, K)     # (V, 2), (V,)
         err = jnp.linalg.norm(proj - xy_row, axis=-1)
+        # Robust re-solve: a single outlier observation (a wrong match
+        # union-found into the track) pollutes the joint DLT and fails the
+        # max-err gate for the WHOLE track. Drop views that misfit the
+        # first solution and re-triangulate from the survivors — the gate
+        # below then judges the inlier subset. (The dropped observations
+        # stay in the BA problem; Huber + post-BA pruning handle them.)
+        for _ in range(max(robust_rounds, 0)):
+            keep = use_row & (depth > 0) & (err <= max_err)
+            use_row = jnp.where(jnp.sum(keep) >= 2, keep, use_row)
+            X = triangulate_multiview(Ps, xy_row, use_row)
+            proj, depth = project(X[None, :], R_v, t_v, K)
+            err = jnp.linalg.norm(proj - xy_row, axis=-1)
         n_use = jnp.sum(use_row)
         ok = (
             (n_use >= 2)
@@ -284,8 +297,11 @@ class StructureFromMotion:
         self._triangulate()
         return i, j
 
-    def _triangulate(self):
-        """(Re)triangulate all tracks that lack a point but are now viewable."""
+    def _triangulate(self, max_err_mult: float = 1.0):
+        """(Re)triangulate all tracks that lack a point but are now viewable.
+
+        max_err_mult relaxes the reprojection gate (used by the global-init
+        path, whose pre-BA averaged poses would fail the strict gate)."""
         with self._stage("triangulate"):
             active = ~self.point_valid & (self.tracks.length >= self.config.triangulation.min_views)
             if not active.any():
@@ -299,8 +315,9 @@ class StructureFromMotion:
                 jnp.asarray(self.registered),
                 jnp.asarray(self._camera_matrix()),
                 jnp.asarray(active),
-                max_err=self.config.triangulation.max_reproj_error,
+                max_err=self.config.triangulation.max_reproj_error * max_err_mult,
                 min_parallax_deg=self.config.triangulation.min_parallax_deg,
+                robust_rounds=self.config.triangulation.robust_rounds,
             )
             ok = np.asarray(ok)
             self.points[ok] = np.asarray(pts)[ok]
@@ -764,6 +781,58 @@ class StructureFromMotion:
         return _save(self._result(self.compute_stats()), out_dir)
 
     # ------------------------------------------------------------------- run
+
+    def global_initialize(self) -> int:
+        """Place every pair-connected camera at once by rotation + translation
+        averaging over the verified-pair graph (reconstruction/global_init.py).
+        Beyond-reference capability: the reference can only grow one image at
+        a time from a two-view seed (sfm_reconstruction.py:633-709)."""
+        from sfm_tpu.reconstruction.global_init import global_poses
+
+        with self._stage("global_init"):
+            rvec, tvec, placed = global_poses(
+                self.table, self._camera_matrix(), self.num_images,
+                self.config.global_init,
+            )
+        self.rvec[placed] = rvec[placed]
+        self.tvec[placed] = tvec[placed]
+        self.registered |= placed
+        self.reg_order = [int(i) for i in np.nonzero(placed)[0]]
+        return int(placed.sum())
+
+    def run_global_reconstruction(self) -> ReconstructionResult:
+        """Global pipeline: averaging init -> triangulate everything ->
+        BA/prune rounds -> guided rescue of unplaced cameras -> final BA.
+
+        Replaces O(N) sequential register->BA rounds with a handful of
+        batched device programs; preferable on well-connected unordered
+        collections. Enable via SfMConfig.global_init.enabled.
+        """
+        t_start = time.time()
+        n = self.global_initialize()
+        logger.info("global init placed %d/%d cameras", n, self.num_images)
+        if n < 2:
+            raise ValueError("global init needs at least 2 connected cameras")
+        # Averaged poses are pre-BA: triangulate under a relaxed gate first,
+        # then alternate BA + prune + retriangulate (strict gate) to converge.
+        self._triangulate(max_err_mult=self.config.global_init.tri_relax)
+        self.bundle_adjust()
+        self.prune_observations()
+        self._triangulate()
+        self.bundle_adjust()
+        self.prune_observations()
+        self._triangulate()
+        if 2 <= len(self.reg_order) < self.num_images:
+            n_guided = self._guided_sweep(self.num_images)
+            if n_guided:
+                logger.info("guided sweep registered %d extra image(s)", n_guided)
+                self._triangulate()
+        self.bundle_adjust(final=True)
+        stats = self.compute_stats()
+        stats["wall_clock_s"] = time.time() - t_start
+        stats["stage_s"] = {k: round(v, 2) for k, v in self.stage_s.items()}
+        logger.info("global reconstruction: %s", stats)
+        return self._result(stats)
 
     def run_reconstruction(
         self,

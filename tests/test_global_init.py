@@ -1,0 +1,173 @@
+"""Global SfM initialization: rotation/translation averaging + end-to-end.
+
+A beyond-reference capability (the reference only grows incrementally from a
+two-view seed, ref sfm_reconstruction.py:61-155, :633-709); tested against
+synthetic ground truth the way SURVEY.md section 4 prescribes for every
+geometry stage.
+"""
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from sfm_tpu.config import (
+    SfMConfig, MatchConfig, VerifyConfig, PnPConfig, BAConfig, GlobalInitConfig,
+)
+from sfm_tpu.matching import all_pairs_sweep
+from sfm_tpu.reconstruction import StructureFromMotion
+from sfm_tpu.reconstruction.global_init import (
+    nearest_rotation,
+    rotation_averaging,
+    translation_averaging,
+    global_poses,
+)
+
+from test_reconstruction import make_multiview
+
+
+def random_rotations(rng, n):
+    from scipy.spatial.transform import Rotation
+
+    return Rotation.random(n, random_state=rng).as_matrix().astype(np.float32)
+
+
+def rot_angle_deg(A, B):
+    """Geodesic angle between rotation matrices (degrees)."""
+    dR = A @ np.swapaxes(B, -1, -2)
+    tr = np.trace(dR, axis1=-2, axis2=-1)
+    return np.degrees(np.arccos(np.clip((tr - 1) / 2, -1, 1)))
+
+
+def ring_pairs(rng, n, extra=12):
+    """Connected measurement graph: ring + random chords."""
+    pairs = [(i, (i + 1) % n) for i in range(n)]
+    while len(pairs) < n + extra:
+        i, j = rng.integers(0, n, 2)
+        if i != j and (min(i, j), max(i, j)) not in pairs:
+            pairs.append((min(i, j), max(i, j)))
+    return np.array([(min(i, j), max(i, j)) for i, j in pairs], np.int32)
+
+
+class TestNearestRotation:
+    def test_projects_to_so3(self, rng):
+        A = rng.normal(size=(16, 3, 3)).astype(np.float32)
+        R = np.asarray(nearest_rotation(jnp.asarray(A)))
+        eye = np.einsum("nab,ncb->nac", R, R)
+        np.testing.assert_allclose(eye, np.tile(np.eye(3), (16, 1, 1)), atol=1e-4)
+        assert np.all(np.linalg.det(R) > 0.9)
+
+    def test_near_rotation_is_fixed_point(self, rng):
+        R_gt = random_rotations(rng, 8)
+        R = np.asarray(nearest_rotation(jnp.asarray(R_gt + 0.01)))
+        assert rot_angle_deg(R, R_gt).max() < 2.0
+
+    def test_negative_det_input(self, rng):
+        R_gt = random_rotations(rng, 4)
+        flipped = R_gt.copy()
+        flipped[:, :, 2] *= -1  # det -1
+        R = np.asarray(nearest_rotation(jnp.asarray(flipped)))
+        assert np.all(np.linalg.det(R) > 0.9)
+
+
+class TestRotationAveraging:
+    def test_exact_measurements(self, rng):
+        n = 12
+        R_gt = random_rotations(rng, n)
+        pairs = ring_pairs(rng, n)
+        R_rel = np.stack([R_gt[j] @ R_gt[i].T for i, j in pairs])
+        w = np.ones(len(pairs), np.float32)
+        R_est = rotation_averaging(pairs, R_rel, w, n)
+        # Gauge-align and compare.
+        errs = [
+            rot_angle_deg(R_est[i] @ R_est[0].T, R_gt[i] @ R_gt[0].T)
+            for i in range(1, n)
+        ]
+        assert max(errs) < 0.5, errs
+
+    def test_noise_and_outliers(self, rng):
+        from scipy.spatial.transform import Rotation
+
+        n = 14
+        R_gt = random_rotations(rng, n)
+        pairs = ring_pairs(rng, n, extra=24)
+        noise = Rotation.from_rotvec(
+            rng.normal(scale=np.deg2rad(2.0), size=(len(pairs), 3))
+        ).as_matrix().astype(np.float32)
+        R_rel = np.stack(
+            [noise[p] @ R_gt[j] @ R_gt[i].T for p, (i, j) in enumerate(pairs)]
+        )
+        # Two gross outlier measurements: the Huber IRLS must contain them.
+        R_rel[3] = random_rotations(rng, 1)[0]
+        R_rel[7] = random_rotations(rng, 1)[0]
+        w = np.ones(len(pairs), np.float32)
+        R_est = rotation_averaging(pairs, R_rel, w, n)
+        errs = [
+            rot_angle_deg(R_est[i] @ R_est[0].T, R_gt[i] @ R_gt[0].T)
+            for i in range(1, n)
+        ]
+        assert np.mean(errs) < 2.5, errs
+        assert max(errs) < 6.0, errs
+
+
+class TestTranslationAveraging:
+    def test_recovers_centers(self, rng):
+        n = 10
+        R_gt = random_rotations(rng, n)
+        C_gt = rng.normal(size=(n, 3)).astype(np.float32) * 3.0
+        pairs = ring_pairs(rng, n, extra=16)
+        # t_ij = R_j (C_i - C_j), unit-normalized like recover_pose outputs.
+        t_rel = np.stack([R_gt[j] @ (C_gt[i] - C_gt[j]) for i, j in pairs])
+        t_rel /= np.linalg.norm(t_rel, axis=-1, keepdims=True)
+        w = np.ones(len(pairs), np.float32)
+        C = translation_averaging(pairs, R_gt, t_rel, w, n)
+        # Compare up to similarity (centroid + scale).
+        A = C - C.mean(0)
+        B = C_gt - C_gt.mean(0)
+        scale = np.sum(A * B) / max(np.sum(A * A), 1e-12)
+        resid = np.linalg.norm(scale * A - B, axis=-1)
+        assert resid.max() < 0.05 * np.linalg.norm(B, axis=-1).mean(), resid
+
+
+class TestGlobalReconstruction:
+    @pytest.fixture(scope="class")
+    def scene_and_table(self):
+        rng = np.random.default_rng(11)
+        scene = make_multiview(rng)
+        cfg = SfMConfig(
+            matching=MatchConfig(max_matches=256),
+            verify=VerifyConfig(ransac_iters=512),
+        )
+        table = all_pairs_sweep(scene["xy"], scene["desc"], scene["valid"], cfg, chunk_size=8)
+        return scene, table
+
+    def test_global_poses_match_gt(self, scene_and_table):
+        scene, table = scene_and_table
+        rvec, tvec, placed = global_poses(table, scene["K"], 8)
+        assert placed.sum() == 8
+        from sfm_tpu.geometry import rodrigues
+
+        R_est = np.asarray(rodrigues(jnp.asarray(rvec)))
+        errs = [
+            rot_angle_deg(R_est[i] @ R_est[0].T, scene["R"][i] @ scene["R"][0].T)
+            for i in range(1, 8)
+        ]
+        assert max(errs) < 3.0, errs
+
+    def test_end_to_end(self, scene_and_table):
+        scene, table = scene_and_table
+        cfg = SfMConfig(
+            pnp=PnPConfig(ransac_iters=512),
+            ba=BAConfig(max_iterations=15, cg_iters=40, optimize_intrinsics=False),
+            global_init=GlobalInitConfig(enabled=True),
+        )
+        sfm = StructureFromMotion(table, scene["xy"], cfg)
+        res = sfm.run_global_reconstruction()
+        assert len(res.image_ids) == 8
+        assert res.stats["mean_reprojection_error"] < 1.0
+        assert res.stats["num_points"] > 100
+        for k, img in enumerate(res.image_ids):
+            if k == 0:
+                R0_est, R0_gt = res.rotations[0], scene["R"][res.image_ids[0]]
+                continue
+            rel_est = res.rotations[k] @ R0_est.T
+            rel_gt = scene["R"][img] @ R0_gt.T
+            assert rot_angle_deg(rel_est, rel_gt) < 2.0
