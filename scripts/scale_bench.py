@@ -157,6 +157,34 @@ def ring_sweep(n_cams, n_pts):
             1e3 * dt / table.num_pairs, len(table.accepted())))
 
 
+def global_recon(n_cams, n_pts):
+    """Global-SfM reconstruction at scale: averaging init + a handful of
+    global BAs instead of O(N) incremental register->BA rounds. Reuses the
+    pair table main() saved to /tmp/scale_table.pkl (run main first)."""
+    import pickle
+
+    from sfm_tpu.config import GlobalInitConfig
+
+    with open("/tmp/scale_table.pkl", "rb") as f:
+        blob = pickle.load(f)
+    table, xy = blob["table"], blob["xy"]
+    assert xy.shape[0] == n_cams, (xy.shape, n_cams)
+    cfg = SfMConfig(
+        ba=BAConfig(max_iterations=15, cg_iters=40, optimize_intrinsics=False,
+                    prune_multiplier=3.0, frequency=10),
+        global_init=GlobalInitConfig(enabled=True),
+    )
+    for rep in ("cold", "warm"):
+        t0 = time.time()
+        sfm = StructureFromMotion(table, xy, cfg)
+        res = sfm.run_global_reconstruction()
+        s = res.stats
+        log("%s GLOBAL recon: %.1fs — cams=%d pts=%d err=%.3f tracklen=%.2f" % (
+            rep, time.time() - t0, s["num_cameras"], s["num_points"],
+            s["mean_reprojection_error"], s["mean_track_length"]))
+        log("%s stage_s: %s" % (rep, {k: round(v, 1) for k, v in s["stage_s"].items()}))
+
+
 if __name__ == "__main__":
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 100
     p = int(sys.argv[2]) if len(sys.argv) > 2 else 5000
@@ -164,5 +192,7 @@ if __name__ == "__main__":
         sweep_only(n, p)
     elif len(sys.argv) > 3 and sys.argv[3] == "ring":
         ring_sweep(n, p)
+    elif len(sys.argv) > 3 and sys.argv[3] == "global":
+        global_recon(n, p)
     else:
         main(n, p)

@@ -104,9 +104,23 @@ def pairwise_relative_poses(table, K, min_inliers: int = 15,
     K = np.asarray(K, np.float32)
     f = np.array([K[0, 0], K[1, 1]], np.float32)
     c = np.array([K[0, 2], K[1, 2]], np.float32)
-    xn1 = jnp.asarray((table.xy1[rows] - c) / f)
-    xn2 = jnp.asarray((table.xy2[rows] - c) / f)
-    w = jnp.asarray(table.inliers[rows] & table.match_valid[rows], jnp.float32)
+    inl = table.inliers[rows] & table.match_valid[rows]
+    xy1 = table.xy1[rows]
+    xy2 = table.xy2[rows]
+    # A 5-dof relative pose needs nowhere near the full padded match budget:
+    # keep the first 256 INLIER slots per pair (stable argsort moves inliers
+    # to the front, preserving match-quality order). At 512 cams / 104k
+    # accepted pairs this cut the averaging stage's dominant cost 4x.
+    S = 256
+    if xy1.shape[1] > S:
+        order = np.argsort(~inl, axis=1, kind="stable")[:, :S]
+        ridx = np.arange(len(rows))[:, None]
+        xy1 = xy1[ridx, order]
+        xy2 = xy2[ridx, order]
+        inl = inl[ridx, order]
+    xn1 = jnp.asarray((xy1 - c) / f)
+    xn2 = jnp.asarray((xy2 - c) / f)
+    w = jnp.asarray(inl, jnp.float32)
     eye3 = jnp.eye(3, dtype=jnp.float32)
 
     def _sampson(params, x1, x2, wts):
@@ -152,7 +166,26 @@ def pairwise_relative_poses(table, K, min_inliers: int = 15,
 
         return jax.vmap(one)(xn1, xn2, w)
 
-    R, t, n_good = _all(xn1, xn2, w)
+    # Chunk the pair axis: at M=1024 matches the GN Jacobian alone is
+    # (M, 6) floats per pair — one program over 100k+ pairs would blow HBM.
+    # Fixed chunk size = one compile, many launches (the sweep's pattern).
+    P_rows = xn1.shape[0]
+    chunk = 2048
+    if P_rows <= chunk:
+        R, t, n_good = _all(xn1, xn2, w)
+    else:
+        pad = (-P_rows) % chunk
+        if pad:
+            xn1 = jnp.concatenate([xn1, jnp.repeat(xn1[-1:], pad, 0)])
+            xn2 = jnp.concatenate([xn2, jnp.repeat(xn2[-1:], pad, 0)])
+            w = jnp.concatenate([w, jnp.repeat(w[-1:], pad, 0)])
+        outs = [
+            _all(xn1[c:c + chunk], xn2[c:c + chunk], w[c:c + chunk])
+            for c in range(0, P_rows + pad, chunk)
+        ]
+        R = jnp.concatenate([o[0] for o in outs])[:P_rows]
+        t = jnp.concatenate([o[1] for o in outs])[:P_rows]
+        n_good = jnp.concatenate([o[2] for o in outs])[:P_rows]
     return {
         "pairs": table.pairs[rows].astype(np.int32),
         "R": np.asarray(R),
@@ -506,27 +539,36 @@ def global_poses(table, K, num_images, config=None):
     """
     from sfm_tpu.config import GlobalInitConfig
 
+    import time as _time
+
     cfg = config or GlobalInitConfig()
+    t0 = _time.time()
     rel = pairwise_relative_poses(table, K, min_inliers=cfg.min_pair_inliers)
+    t1 = _time.time()
     P = rel["pairs"].shape[0]
     w = rel["weight"]
     if cfg.cycle_sigma_deg > 0:
         cyc = cycle_consistency_weights(
             rel["pairs"], rel["R"], sigma_deg=cfg.cycle_sigma_deg)
         w = w * cyc
-        logger.info(
-            "global init: averaging over %d pairs (%d cycle-downweighted)",
-            P, int((cyc < 0.5).sum()))
+        n_down = int((cyc < 0.5).sum())
     else:
-        logger.info("global init: averaging over %d pairs", P)
+        n_down = 0
+    t2 = _time.time()
     R_abs = rotation_averaging(
         rel["pairs"], rel["R"], w, num_images,
         power_iters=cfg.power_iters, refine_iters=cfg.refine_iters,
     )
+    t3 = _time.time()
     C = translation_averaging(
         rel["pairs"], R_abs, rel["t"], w, num_images,
         als_rounds=cfg.als_rounds, cg_iters=cfg.cg_iters,
     )
+    t4 = _time.time()
+    logger.info(
+        "global init: %d pairs (%d cycle-downweighted); rel %.1fs cycle %.1fs "
+        "rot %.1fs trans %.1fs",
+        P, n_down, t1 - t0, t2 - t1, t3 - t2, t4 - t3)
     placed = np.zeros(num_images, bool)
     placed[rel["pairs"].ravel()] = True
     rvec = np.asarray(rotation_to_rvec(jnp.asarray(R_abs)), np.float32)

@@ -329,3 +329,63 @@ class TestConfigSerialization:
                            "--config", str(p)])
         assert args.config_json == str(p)
         assert SfMConfig.from_json(args.config_json).verify.ransac_iters == 128
+
+
+class TestGlobalInitKnobs:
+    def test_knobs_reach_global_poses(self, monkeypatch):
+        """Every GlobalInitConfig knob is consumed: enabled routes the
+        pipeline to run_global_reconstruction, and the solver knobs flow
+        from the config into the averaging calls."""
+        from sfm_tpu.config import GlobalInitConfig
+        from sfm_tpu.reconstruction import global_init as gi
+
+        seen = {}
+
+        def fake_rel(table, K, min_inliers, **kw):
+            seen["min_pair_inliers"] = min_inliers
+            raise RuntimeError("stop")
+
+        monkeypatch.setattr(gi, "pairwise_relative_poses", fake_rel)
+        cfg = GlobalInitConfig(min_pair_inliers=9)
+        with pytest.raises(RuntimeError):
+            gi.global_poses(None, np.eye(3, dtype=np.float32), 4, cfg)
+        assert seen["min_pair_inliers"] == 9
+
+    def test_solver_knobs_flow(self, monkeypatch):
+        from sfm_tpu.config import GlobalInitConfig
+        from sfm_tpu.reconstruction import global_init as gi
+
+        seen = {}
+
+        def fake_rel(table, K, min_inliers, **kw):
+            return {
+                "pairs": np.array([[0, 1], [1, 2]], np.int32),
+                "R": np.tile(np.eye(3, dtype=np.float32), (2, 1, 1)),
+                "t": np.array([[1, 0, 0], [1, 0, 0]], np.float32),
+                "weight": np.ones(2, np.float32),
+            }
+
+        def fake_rot(pairs, R, w, n, power_iters, refine_iters):
+            seen["power_iters"] = power_iters
+            seen["refine_iters"] = refine_iters
+            return np.tile(np.eye(3, dtype=np.float32), (n, 1, 1))
+
+        def fake_trans(pairs, R_abs, t, w, n, als_rounds, cg_iters):
+            seen["als_rounds"] = als_rounds
+            seen["cg_iters"] = cg_iters
+            return np.zeros((n, 3), np.float32)
+
+        def fake_cycle(pairs, R, sigma_deg):
+            seen["cycle_sigma_deg"] = sigma_deg
+            return np.ones(len(pairs), np.float32)
+
+        monkeypatch.setattr(gi, "pairwise_relative_poses", fake_rel)
+        monkeypatch.setattr(gi, "rotation_averaging", fake_rot)
+        monkeypatch.setattr(gi, "translation_averaging", fake_trans)
+        monkeypatch.setattr(gi, "cycle_consistency_weights", fake_cycle)
+        cfg = GlobalInitConfig(power_iters=7, refine_iters=3, als_rounds=2,
+                               cg_iters=11, cycle_sigma_deg=22.0)
+        rvec, tvec, placed = gi.global_poses(None, np.eye(3, dtype=np.float32), 3, cfg)
+        assert seen == {"power_iters": 7, "refine_iters": 3, "als_rounds": 2,
+                        "cg_iters": 11, "cycle_sigma_deg": 22.0}
+        assert placed.sum() == 3
