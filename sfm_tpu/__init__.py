@@ -23,7 +23,7 @@ Array conventions used throughout:
     jit-compilable with static shapes.
 """
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 import os as _os
 

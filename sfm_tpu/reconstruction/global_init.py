@@ -499,28 +499,70 @@ def cycle_consistency_weights(pairs, R_rel, sigma_deg: float = 15.0,
     false-consensus pairs (verified on bunny: kept edges' median GT error
     2.8 deg vs dropped edges' 16-30 deg).
     """
+    import scipy.sparse as sp
+
+    pairs = np.asarray(pairs)
+    R_rel = np.asarray(R_rel)
     P = len(pairs)
-    Rmap = {}
-    adj = {}
-    for p in range(P):
-        i, j = int(pairs[p, 0]), int(pairs[p, 1])
-        Rmap[(i, j)] = R_rel[p]
-        Rmap[(j, i)] = R_rel[p].T
-        adj.setdefault(i, []).append(j)
-        adj.setdefault(j, []).append(i)
-    adj = {k: set(v) for k, v in adj.items()}
-    ang = np.full(P, 90.0, np.float32)
-    for p in range(P):
-        i, j = int(pairs[p, 0]), int(pairs[p, 1])
-        common = list(adj[i] & adj[j])[:max_triangles]
-        if not common:
-            continue
-        errs = []
-        for k in common:
-            C = Rmap[(i, j)] @ Rmap[(k, i)] @ Rmap[(j, k)]
-            tr = np.clip((np.trace(C) - 1.0) * 0.5, -1.0, 1.0)
-            errs.append(np.degrees(np.arccos(tr)))
-        ang[p] = np.median(errs)
+    N = int(pairs.max()) + 1
+    i_idx, j_idx = pairs[:, 0], pairs[:, 1]
+
+    # Fully vectorized triangle sampling (the per-edge Python loop was 17 s
+    # at 104k edges; computing exact common-neighbor sets via a sparse
+    # row product was another 6 s): take the first few neighbors of i and
+    # test (k, j) adjacency against a dense edge-id table. Sampling, not
+    # exhaustive — which is what max_triangles asks for anyway.
+    A = sp.csr_matrix(
+        (np.ones(2 * P, np.int8),
+         (np.concatenate([i_idx, j_idx]), np.concatenate([j_idx, i_idx]))),
+        shape=(N, N),
+    ).tocsr()
+    eid = np.full((N, N), -1, np.int32)
+    eid[i_idx, j_idx] = np.arange(P)
+    eid[j_idx, i_idx] = np.arange(P)
+
+    C0 = 3 * max_triangles  # candidate neighbors of i to probe per edge
+    deg = np.diff(A.indptr)
+    starts = A.indptr[i_idx]
+    offs = np.arange(C0)
+    cand = A.indices[np.minimum(starts[:, None] + offs[None, :],
+                                A.nnz - 1)]          # (P, C0) neighbor ids
+    cand_ok = (offs[None, :] < deg[i_idx][:, None]) & (eid[cand, j_idx[:, None]] >= 0)
+    # keep the first max_triangles hits per row
+    rank = np.cumsum(cand_ok, axis=1)
+    cand_ok &= rank <= max_triangles
+    tri_edge, col = np.nonzero(cand_ok)
+    tri_k = cand[tri_edge, col]
+    tri_i = i_idx[tri_edge]
+    tri_j = j_idx[tri_edge]
+
+    def rot(a, b):
+        # Rotation of edge (a, b) in the a->b orientation; R_rel[p] maps
+        # pairs[p,0] -> pairs[p,1], so the reverse orientation transposes.
+        p = eid[a, b]
+        R = R_rel[p]
+        flip = (pairs[p, 0] != a)
+        return np.where(flip[:, None, None], np.swapaxes(R, -1, -2), R)
+
+    # Cycle i -> j (measured R_ij) -> j -> k -> i: identity if consistent.
+    C = np.einsum("tab,tbc,tcd->tad", rot(tri_k, tri_i), rot(tri_j, tri_k),
+                  R_rel[tri_edge])
+    tr = np.clip((np.trace(C, axis1=-2, axis2=-1) - 1.0) * 0.5, -1.0, 1.0)
+    tri_ang = np.degrees(np.arccos(tr)).astype(np.float32)
+
+    # Per-edge median, vectorized: scatter into a (P, max_triangles) table
+    # padded with +inf, sort rows (inf sorts last), pick the two middle
+    # elements of the valid prefix. (np.nanmedian is an order of magnitude
+    # slower than a sort at this shape.)
+    counts = np.bincount(tri_edge, minlength=P)
+    ang_tab = np.full((P, max(max_triangles, 1)), np.inf, np.float32)
+    slot = rank[tri_edge, col] - 1
+    ang_tab[tri_edge, slot] = tri_ang
+    ang_tab.sort(axis=1)
+    c = np.maximum(counts, 1)
+    lo = ang_tab[np.arange(P), (c - 1) // 2]
+    hi = ang_tab[np.arange(P), c // 2]
+    ang = np.where(counts > 0, 0.5 * (lo + hi), 90.0).astype(np.float32)
     return np.maximum(np.exp(-((ang / sigma_deg) ** 2)), floor).astype(np.float32)
 
 
