@@ -209,7 +209,6 @@ def nearest_rotation(A):
     Power iteration on B + c I (unrolled, no eigh).
     """
     A = jnp.asarray(A)
-    ax, ay, az = A[..., 0, :], A[..., 1, :], A[..., 2, :]
     # B rows/cols ordered (w, x, y, z).
     a11, a12, a13 = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
     a21, a22, a23 = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]

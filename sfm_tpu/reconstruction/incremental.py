@@ -844,7 +844,14 @@ class StructureFromMotion:
 
         checkpoint_dir + checkpoint_every=k: serialize state every k
         registrations (resume via load_checkpoint + run_reconstruction).
+
+        With config.global_init.enabled this routes to
+        :meth:`run_global_reconstruction` (unless a checkpointed/partial
+        incremental run is being resumed), so the config knob means the
+        same thing through every entry point.
         """
+        if self.config.global_init.enabled and not self.reg_order:
+            return self.run_global_reconstruction()
         t_start = time.time()
         limit = num_images or self.num_images
         if not self.reg_order:  # fresh run (vs resumed from checkpoint)

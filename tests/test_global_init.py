@@ -171,3 +171,42 @@ class TestGlobalReconstruction:
             rel_est = res.rotations[k] @ R0_est.T
             rel_gt = scene["R"][img] @ R0_gt.T
             assert rot_angle_deg(rel_est, rel_gt) < 2.0
+
+
+class TestEntryPointRouting:
+    def test_run_reconstruction_routes_to_global(self, monkeypatch, rng):
+        """config.global_init.enabled means global through EVERY entry point
+        — run_reconstruction must not silently fall back to incremental."""
+        from sfm_tpu.matching.sweep import PairTable
+
+        n, K = 3, 4
+        P = 3
+        table = PairTable(
+            pairs=np.array([[0, 1], [0, 2], [1, 2]], np.int32),
+            accept=np.ones(P, bool),
+            num_matches=np.full(P, 4, np.int32),
+            num_inliers=np.full(P, 4, np.int32),
+            inlier_ratio=np.ones(P, np.float32),
+            reprojection_error=np.zeros(P, np.float32),
+            well_distributed=np.ones(P, bool),
+            F=np.tile(np.eye(3, dtype=np.float32), (P, 1, 1)),
+            xy1=np.zeros((P, 4, 2), np.float32),
+            xy2=np.zeros((P, 4, 2), np.float32),
+            idx1=np.tile(np.arange(4, dtype=np.int32), (P, 1)),
+            idx2=np.tile(np.arange(4, dtype=np.int32), (P, 1)),
+            match_valid=np.ones((P, 4), bool),
+            inliers=np.ones((P, 4), bool),
+        )
+        xy = rng.uniform(0, 100, (n, K, 2)).astype(np.float32)
+        cfg = SfMConfig(global_init=GlobalInitConfig(enabled=True))
+        sfm = StructureFromMotion(table, xy, cfg)
+        called = {}
+
+        def fake_global(self):
+            called["global"] = True
+            return "sentinel"
+
+        monkeypatch.setattr(StructureFromMotion, "run_global_reconstruction",
+                            fake_global)
+        assert sfm.run_reconstruction() == "sentinel"
+        assert called.get("global")
