@@ -233,11 +233,13 @@ def corridor(n_cams, n_pts):
     xy, desc, valid = make_scene_corridor(rng, n_cams, n_pts)
     log("corridor scene: %d cams, %d pts, kps/cam mean %.0f (gen %.1fs)" % (
         n_cams, n_pts, valid.sum(1).mean(), time.time() - t0))
+    # Global mode runs only ~3 BA solves: deeper per-solve iteration is the
+    # right trade (A/B at 200 cams: 15 it -> 0.518 px, 30 it -> 0.450 px).
     cfg = SfMConfig(
         matching=MatchConfig(max_matches=512),
         verify=VerifyConfig(ransac_iters=1024),
-        ba=BAConfig(max_iterations=15, cg_iters=40, optimize_intrinsics=False,
-                    prune_multiplier=3.0, frequency=10),
+        ba=BAConfig(max_iterations=30, cg_iters=80, optimize_intrinsics=False,
+                    prune_multiplier=3.0),
         global_init=GlobalInitConfig(enabled=True),
     )
     for rep in ("cold", "warm"):
@@ -273,8 +275,8 @@ def global_recon(n_cams, n_pts):
     table, xy = blob["table"], blob["xy"]
     assert xy.shape[0] == n_cams, (xy.shape, n_cams)
     cfg = SfMConfig(
-        ba=BAConfig(max_iterations=15, cg_iters=40, optimize_intrinsics=False,
-                    prune_multiplier=3.0, frequency=10),
+        ba=BAConfig(max_iterations=30, cg_iters=80, optimize_intrinsics=False,
+                    prune_multiplier=3.0),
         global_init=GlobalInitConfig(enabled=True),
     )
     for rep in ("cold", "warm"):
