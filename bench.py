@@ -99,9 +99,13 @@ def bench_detect():
     return n / float(np.median(t_dev)), n / float(np.median(t_up))
 
 
-def bench_ba(n_cams=100, n_pts=20000, obs_per_cam=2000, lm_iters=10):
+def bench_ba(n_cams=100, n_pts=20000, obs_per_cam=2000, lm_iters=10,
+             force_pcg=False):
     """LM iterations/sec on a mid-size synthetic BA problem (BASELINE.json
-    metric #2). Returns (iters_per_sec, rms_px)."""
+    metric #2). Returns (iters_per_sec, rms_px). force_pcg pins the
+    scalable Schur-PCG path regardless of camera count (the dense-direct
+    crossover boundary is INCLUSIVE, so 256 cams would otherwise take the
+    dense path and a PCG regression would be invisible)."""
     import jax
     import numpy as np
     from sfm_tpu.config import BAConfig
@@ -134,7 +138,8 @@ def bench_ba(n_cams=100, n_pts=20000, obs_per_cam=2000, lm_iters=10):
         obs_cam=obs_cam, obs_point=obs_point, obs_xy=obs_xy,
         obs_valid=np.ones(len(obs_cam), bool),
     )
-    cfg = BAConfig(max_iterations=lm_iters, cg_iters=30, ftol=0.0)
+    cfg = BAConfig(max_iterations=lm_iters, cg_iters=30, ftol=0.0,
+                   use_dense_schur_below=0 if force_pcg else 256)
     for _ in range(2):  # compile + true warm (block_until_ready no-ops on tunnel)
         out, stats = run_ba(prob, cfg, optimize_intrinsics=False)
         float(stats["final_cost"])  # scalar transfer = real sync
@@ -262,7 +267,7 @@ def main():
     ba_ips, ba_rms = bench_ba()
     # The scalable (PCG) path at the regime large scenes actually use —
     # driver-tracked so regressions there are visible (round-2 verdict #5).
-    ba256_ips, ba256_rms = bench_ba(n_cams=256, n_pts=20000, obs_per_cam=1500)
+    ba256_ips, ba256_rms = bench_ba(n_cams=256, n_pts=20000, obs_per_cam=1500, force_pcg=True)
 
     baseline_file = ROOT / "BASELINE_MEASURED.json"
     if baseline_file.exists():
@@ -291,7 +296,7 @@ def main():
                     "ba_bench_size": "100 cams / 20k pts / 200k obs",
                     "ba256_lm_iters_per_sec": round(ba256_ips, 2),
                     "ba256_bench_rms_px": round(ba256_rms, 3),
-                    "ba256_bench_size": "256 cams / 20k pts / 384k obs",
+                    "ba256_bench_size": "256 cams / 20k pts / 384k obs (PCG path pinned)",
                 },
             }
         )

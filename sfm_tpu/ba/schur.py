@@ -60,6 +60,11 @@ class Linearization(NamedTuple):
     g_p: jnp.ndarray       # (P, 3)
     Hreg_k: jnp.ndarray    # (4, 4) intrinsics regularization hessian
     point_valid: jnp.ndarray  # (P,) bool
+    U_extra: jnp.ndarray   # (1-or-C, B, B) per-camera Hessian additions
+                           # (per-camera intrinsics regularization in
+                           # 10-param mode; zeros otherwise). Part of U but
+                           # NOT reconstructible from Jc products — the
+                           # matvec must apply it explicitly.
 
 
 class SchurOperator(NamedTuple):
@@ -81,6 +86,7 @@ class SchurOperator(NamedTuple):
     Hreg_k: jnp.ndarray    # (4, 4) intrinsics regularization hessian
     Mc: jnp.ndarray        # (C, B, B) block-Jacobi preconditioner (inverted)
     Mk: jnp.ndarray        # (4, 4)
+    U_extra: jnp.ndarray   # (1-or-C, B, B) — see Linearization.U_extra
 
 
 def _seg_sum_pt(values, seg_ids, num_segments):
@@ -135,10 +141,12 @@ def linearize_system(
         g_k = g_k + g_k_extra
     g_p = _seg_sum_pt(jnp.einsum("oci,oc->oi", Jp, rw), obs_point, num_points)
 
+    if U_extra is None:
+        U_extra = jnp.zeros((1, B, B), Jc.dtype)
     return Linearization(
         Jc=Jc, Jk=Jk, Jp=Jp, rw=rw, obs_cam=obs_cam, obs_point=obs_point,
         onehot_cam=onehot_cam, V=V, U=U, Uk=Uk, g_c=g_c, g_k=g_k, g_p=g_p,
-        Hreg_k=Hreg_k, point_valid=point_valid,
+        Hreg_k=Hreg_k, point_valid=point_valid, U_extra=U_extra,
     )
 
 
@@ -182,7 +190,7 @@ def damp_operator(lin: Linearization, lam):
         Jc=lin.Jc, Jk=lin.Jk, Jp=lin.Jp, obs_cam=lin.obs_cam,
         obs_point=lin.obs_point, onehot_cam=lin.onehot_cam,
         Vinv=Vinv, lam_diag_c=lam_diag_c, lam_diag_k=lam_diag_k,
-        Hreg_k=lin.Hreg_k, Mc=Mc, Mk=Mk,
+        Hreg_k=lin.Hreg_k, Mc=Mc, Mk=Mk, U_extra=lin.U_extra,
     )
     return op, rhs_c, rhs_k, lin.g_p
 
@@ -219,6 +227,10 @@ def schur_matvec(op: SchurOperator, xc, xk):
     Sx_k = jnp.einsum("oci,oc->i", op.Jk, d)
 
     Sx_c = Sx_c + op.lam_diag_c * xc
+    # Per-camera Hessian additions (e.g. the per-camera intrinsics
+    # regularization): part of U that Jc products cannot reconstruct.
+    # jnp.matmul broadcasts the (1, B, B) shared block over all cameras.
+    Sx_c = Sx_c + jnp.matmul(op.U_extra, xc[..., None])[..., 0]
     Sx_k = Sx_k + op.lam_diag_k * xk + op.Hreg_k @ xk
     return Sx_c, Sx_k
 
@@ -291,11 +303,20 @@ def coobs_pairs(obs_point, obs_valid, v_bucket: int = 8):
     _, counts = np.unique(pts, return_counts=True)
     G = len(counts)
     V = int(-(-counts.max() // v_bucket) * v_bucket)
+    # Bucket the ROW axis too: G = points-with-observations grows with
+    # nearly every registration during incremental reconstruction, and an
+    # exact G re-traces the jitted BA program (30-70 s server compile
+    # through the remote tunnel) on almost every bundle_adjust call. Round
+    # up to the next power of two (min 64) so shapes change O(log) times
+    # over a run; padded rows are dead slots (index 0, masked).
+    G_pad = 64
+    while G_pad < G:
+        G_pad *= 2
     starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
     pos = np.arange(len(idx)) - np.repeat(starts, counts)
     row = np.repeat(np.arange(G), counts)
-    perm = np.zeros((G, V), np.int32)
-    valid = np.zeros((G, V), bool)
+    perm = np.zeros((G_pad, V), np.int32)
+    valid = np.zeros((G_pad, V), bool)
     perm[row, pos] = idx
     valid[row, pos] = True
     return perm, valid

@@ -11,6 +11,13 @@ from __future__ import annotations
 import dataclasses
 from typing import Optional, Tuple
 
+# Config fields that shipped in an earlier release and were later removed;
+# from_dict accepts-and-drops them (with a warning) for forward compat of
+# saved --config JSON files.
+_REMOVED_FIELDS = {
+    "matching": {"use_pallas", "tile_size"},  # Pallas matcher, deleted in 0.3
+}
+
 
 @dataclasses.dataclass(frozen=True)
 class FeatureConfig:
@@ -340,6 +347,19 @@ class SfMConfig:
             }.get(f.name)
             if sub is not None:
                 unknown = set(v) - {sf.name for sf in dataclasses.fields(sub)}
+                # Knobs that existed in released config schemas and were
+                # since removed: accept-and-drop with a warning so old
+                # --config files keep loading (v0.2 serialized the Pallas
+                # matcher knobs this release deleted).
+                removed = unknown & _REMOVED_FIELDS.get(f.name, set())
+                if removed:
+                    import logging
+
+                    logging.getLogger(__name__).warning(
+                        "ignoring removed %s config fields: %s",
+                        f.name, sorted(removed))
+                    v = {k: x for k, x in v.items() if k not in removed}
+                    unknown -= removed
                 if unknown:
                     raise ValueError(f"unknown {f.name} config fields: {sorted(unknown)}")
                 if f.name == "sharding" and v.get("mesh_shape") is not None:

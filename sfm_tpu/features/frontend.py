@@ -278,15 +278,12 @@ def detect_and_describe_batch(
         images = xp.concatenate([images, xp.repeat(images[-1:], pad, 0)])
         masks = xp.concatenate([masks, xp.repeat(masks[-1:], pad, 0)])
     def upload(a):
-        """Host slice -> device, in ~4 MB pieces: the tunnel's H2D rate was
-        measured at 47 MB/s with 4 MB chunks vs 26 MB/s for one large
-        buffer."""
-        if not host_in or a.nbytes <= 6e6:
+        """Host slice -> device (utils.transfer owns the tunnel chunking)."""
+        if not host_in:
             return jnp.asarray(a)
-        per = max(1, int(4e6 / max(a[0].nbytes, 1)))
-        return jnp.concatenate(
-            [jnp.asarray(a[i : i + per]) for i in range(0, len(a), per)]
-        )
+        from sfm_tpu.utils.transfer import device_put_chunked
+
+        return device_put_chunked(a)
 
     # Double-buffer: a worker thread uploads sub-batch c+1 while the main
     # thread dispatches compute on sub-batch c — the upload (~1.2 s for

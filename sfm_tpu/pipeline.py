@@ -178,10 +178,10 @@ class SfMPipeline:
             with stage("reconstruct", self.metrics), self._maybe_trace():
                 sfm = StructureFromMotion(table, xy, self.config, metrics=self.metrics,
                                           desc=desc, feat_valid=feat_valid)
-                if self.config.global_init.enabled:
-                    self.result = sfm.run_global_reconstruction()
-                else:
-                    self.result = sfm.run_reconstruction(self.args.num_images)
+                # run_reconstruction routes to the global path itself when
+                # global_init.enabled (and falls back with a warning when
+                # num_images/checkpointing make the one-shot path unusable).
+                self.result = sfm.run_reconstruction(self.args.num_images)
             for k in ("num_cameras", "num_points", "mean_reprojection_error"):
                 self.metrics.log(f"reconstruction/{k}", self.result.stats[k])
             recon_dir = self.output_dir / "reconstruction"

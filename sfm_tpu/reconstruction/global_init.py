@@ -84,20 +84,19 @@ def pairwise_relative_poses(table, K, min_inliers: int = 15,
     ``t`` (P, 3), ``weight`` (P,) float32 (inlier count).
     """
     rows = np.nonzero(table.accept & (table.num_inliers >= min_inliers))[0]
-    # Pairless-image rescues may sit below min_inliers: keep an image's best
-    # pair regardless so averaging covers every connected camera.
-    deg = np.zeros(int(table.pairs.max(initial=0)) + 1, np.int64)
-    for p in rows:
-        i, j = table.pairs[p]
-        deg[i] += 1
-        deg[j] += 1
-    for p in np.nonzero(table.accept)[0]:
-        i, j = table.pairs[p]
-        if deg[i] == 0 or deg[j] == 0:
-            rows = np.append(rows, p)
-            deg[i] += 1
-            deg[j] += 1
-    rows = np.unique(rows)
+    # Pairless-image rescues may sit below min_inliers: keep each such
+    # image's BEST accepted pair regardless, so averaging covers every
+    # connected camera. Vectorized (no per-pair python loop / np.append).
+    n_nodes = int(table.pairs.max(initial=0)) + 1
+    deg = np.bincount(table.pairs[rows].ravel(), minlength=n_nodes)
+    acc = np.nonzero(table.accept)[0]
+    extra = []
+    for img in np.nonzero(deg == 0)[0]:
+        cand = acc[(table.pairs[acc] == img).any(axis=1)]
+        if len(cand):
+            extra.append(cand[np.argmax(table.num_inliers[cand])])
+    if extra:
+        rows = np.unique(np.concatenate([rows, np.asarray(extra)]))
     if len(rows) == 0:
         raise ValueError("no accepted pairs to average over")
 
@@ -225,7 +224,19 @@ def nearest_rotation(A):
     # Shift so the target (largest) eigenvalue dominates in magnitude.
     c = jnp.linalg.norm(A, axis=(-2, -1), keepdims=True) * 2.0 + 1e-6
     Bs = B + c * jnp.eye(4, dtype=A.dtype)
-    q = jnp.ones(A.shape[:-2] + (4,), A.dtype)
+
+    # Start vector: one-hot at the largest DIAGONAL of the Davenport matrix
+    # (Shepperd's branch rule). A fixed start like ones(4) fails whenever
+    # the target quaternion is orthogonal to it (measured: a 180-degree
+    # rotation about (1,-1,0)/sqrt(2) has quaternion (0,.7,-.7,0) ⊥ ones —
+    # power iteration converged to the SECOND eigenvector, 180 degrees from
+    # the optimum). The argmax-diagonal component of the top eigenvector is
+    # bounded away from zero for (near-)rotations, and the start stays
+    # deterministic and single-branch — no per-block candidate selection
+    # that could pick inconsistently across the shared-gauge blocks of the
+    # spectral init.
+    diag = jnp.diagonal(B, axis1=-2, axis2=-1)
+    q = jax.nn.one_hot(jnp.argmax(diag, axis=-1), 4, dtype=A.dtype)
     for _ in range(24):
         q = jnp.einsum("...ij,...j->...i", Bs, q)
         q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), _EPS)
@@ -465,10 +476,17 @@ def translation_averaging(
             if k > 0:
                 base = C[j_idx] - C[i_idx]
                 bn = jnp.maximum(jnp.linalg.norm(base, axis=-1), _EPS)
+                proj = jnp.einsum("pa,pa->p", base, d)
                 sin_res = jnp.linalg.norm(
-                    base - jnp.einsum("pa,pa->p", base, d)[:, None] * d, axis=-1
+                    base - proj[:, None] * d, axis=-1
                 ) / bn
                 wp = w * jnp.where(sin_res > 0.05, 0.05 / sin_res, 1.0)
+                # The perpendicular residual is sign-blind: a pair whose
+                # direction landed on the flipped (twisted-pair) sign fits
+                # sin_res ~ 0 with d = -true. The projection onto the
+                # CURRENT embedding exposes it — negative projection means
+                # the measured sign disagrees with the consensus layout.
+                wp = jnp.where(proj < 0, wp * 1e-2, wp)
             M, q = assemble(wp)
             eps = 1e-3 * jnp.trace(M) / (3 * N) + 1e-8
             x = _cg(M + eps * jnp.eye(3 * N, dtype=jnp.float32),
@@ -588,6 +606,13 @@ def global_poses(table, K, num_images, config=None):
     t1 = _time.time()
     P = rel["pairs"].shape[0]
     w = rel["weight"]
+    # Pose-evidence weighting: a pair whose cheirality vote covered only a
+    # small fraction of its inliers produced a weakly-supported (R, t) —
+    # scale its averaging weight by that fraction (floored, never zeroed).
+    cheir = np.clip(
+        rel["cheirality_good"] / np.maximum(rel["weight"], 1.0), 0.1, 1.0
+    ).astype(np.float32)
+    w = w * cheir
     if cfg.cycle_sigma_deg > 0:
         cyc = cycle_consistency_weights(
             rel["pairs"], rel["R"], sigma_deg=cfg.cycle_sigma_deg)

@@ -209,7 +209,10 @@ def _pick_diverse_two(d, ok):
     v2 = np.argmin(dot2, axis=1)
     pick = np.zeros_like(ok)
     pick[np.arange(T), v1] = True
-    pick[np.arange(T), v2] = cnt >= 2
+    # |= — NOT assignment: when cnt == 1 the all-inf dot2 row makes v2
+    # collapse to v1 (argmin of all-equal), and assigning False there would
+    # erase the track's ONLY picked observation.
+    pick[np.arange(T), v2] |= cnt >= 2
     return pick & ok
 
 
@@ -901,11 +904,19 @@ class StructureFromMotion:
 
         With config.global_init.enabled this routes to
         :meth:`run_global_reconstruction` (unless a checkpointed/partial
-        incremental run is being resumed), so the config knob means the
-        same thing through every entry point.
+        incremental run is being resumed, an image-count limit below the
+        scene size is requested, or checkpointing is configured — features
+        the one-shot global path does not support), so the config knob
+        means the same thing through every entry point.
         """
         if self.config.global_init.enabled and not self.reg_order:
-            return self.run_global_reconstruction()
+            wants_limit = num_images is not None and num_images < self.num_images
+            if not wants_limit and not checkpoint_dir:
+                return self.run_global_reconstruction()
+            logger.warning(
+                "global_init.enabled but num_images/checkpointing requested: "
+                "falling back to the incremental path (global reconstruction "
+                "is one-shot and supports neither)")
         t_start = time.time()
         limit = num_images or self.num_images
         if not self.reg_order:  # fresh run (vs resumed from checkpoint)

@@ -290,6 +290,47 @@ class TestPerCameraIntrinsics:
         fx_shared = float(np.asarray(out_sh.intr)[0])
         assert abs(fx_shared - 1140.0) > 30 and abs(fx_shared - 1270.0) > 30
 
+    def test_pcg_matches_dense_with_regularization(self, rng):
+        """In per-camera mode the intrinsics regularization Hessian lives in
+        U as an addition the Jc products cannot reconstruct: the PCG matvec
+        must apply it explicitly or it solves a DIFFERENT (under-regularized)
+        system than the dense-direct path (regression: the matvec omitted
+        U_extra while the preconditioner and rhs included it)."""
+        from sfm_tpu.geometry import project, rodrigues
+
+        n_cams, n_pts = 5, 200
+        pts = rng.uniform(-2, 2, (n_pts, 3)).astype(np.float32)
+        pts[:, 2] += 8.0
+        rvec = 0.01 * rng.normal(size=(n_cams, 3)).astype(np.float32)
+        tvec = np.concatenate(
+            [rng.uniform(-1, 1, (n_cams, 2)), np.zeros((n_cams, 1))], 1
+        ).astype(np.float32)
+        K = np.array([[900, 0, 256], [0, 900, 256], [0, 0, 1]], np.float32)
+        obs_cam = np.repeat(np.arange(n_cams, dtype=np.int32), n_pts)
+        obs_point = np.tile(np.arange(n_pts, dtype=np.int32), n_cams)
+        xy = []
+        for c in range(n_cams):
+            R = np.asarray(rodrigues(jnp.asarray(rvec[c])))
+            p, _ = project(pts, R, tvec[c], K)
+            xy.append(np.asarray(p))
+        obs_xy = np.concatenate(xy) + rng.normal(
+            scale=0.4, size=(len(obs_cam), 2)).astype(np.float32)
+        prob = build_problem(
+            rvec=rvec, tvec=tvec, cam_valid=np.ones(n_cams, bool),
+            intr=np.array([900.0, 900.0, 256.0, 256.0], np.float32),
+            points=pts, point_valid=np.ones(n_pts, bool),
+            obs_cam=obs_cam, obs_point=obs_point, obs_xy=obs_xy,
+            obs_valid=np.ones(len(obs_cam), bool),
+        )
+        base = dict(per_camera_intrinsics=True, intrinsics_reg_weight=5.0,
+                    max_iterations=8, cg_iters=200, cg_tol=1e-10, ftol=0.0)
+        _, s_pcg = run_ba(prob, BAConfig(use_dense_schur_below=0, **base),
+                          optimize_intrinsics=True)
+        _, s_dense = run_ba(prob, BAConfig(use_dense_schur_below=64, **base),
+                            optimize_intrinsics=True)
+        d, p = float(s_dense["final_cost"]), float(s_pcg["final_cost"])
+        assert abs(d - p) <= 1e-3 * max(abs(d), abs(p)), (d, p)
+
 
 class TestBlockedBA:
     """Blocked (P, V) layout must agree with the flat-table LM."""

@@ -331,6 +331,28 @@ class TestConfigSerialization:
         assert SfMConfig.from_json(args.config_json).verify.ransac_iters == 128
 
 
+class TestRemovedFieldCompat:
+    def test_v02_config_with_pallas_knobs_loads(self, tmp_path):
+        """--config files saved by v0.2 serialized matching.use_pallas /
+        tile_size; the strict unknown-field check must accept-and-drop them
+        instead of refusing to load."""
+        import json
+
+        d = SfMConfig().to_dict()
+        d["matching"]["use_pallas"] = False
+        d["matching"]["tile_size"] = 128
+        p = tmp_path / "old.json"
+        p.write_text(json.dumps(d))
+        cfg = SfMConfig.from_json(p)
+        assert cfg.matching.ratio_threshold == 0.75
+
+    def test_truly_unknown_field_still_rejected(self):
+        d = SfMConfig().to_dict()
+        d["matching"]["definitely_not_a_knob"] = 1
+        with pytest.raises(ValueError):
+            SfMConfig.from_dict(d)
+
+
 class TestGlobalInitKnobs:
     def test_knobs_reach_global_poses(self, monkeypatch):
         """Every GlobalInitConfig knob is consumed: enabled routes the
@@ -363,6 +385,7 @@ class TestGlobalInitKnobs:
                 "R": np.tile(np.eye(3, dtype=np.float32), (2, 1, 1)),
                 "t": np.array([[1, 0, 0], [1, 0, 0]], np.float32),
                 "weight": np.ones(2, np.float32),
+                "cheirality_good": np.ones(2, np.float32),
             }
 
         def fake_rot(pairs, R, w, n, power_iters, refine_iters):
