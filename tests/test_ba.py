@@ -332,6 +332,30 @@ class TestPerCameraIntrinsics:
         assert abs(d - p) <= 1e-3 * max(abs(d), abs(p)), (d, p)
 
 
+class TestCoobsBucketing:
+    def test_row_axis_bucketed(self):
+        """coobs_pairs must return bucket-stable shapes as the point count
+        grows, or the jitted dense-path BA program re-traces on nearly every
+        incremental bundle_adjust call (30-70 s server compile each through
+        the remote tunnel)."""
+        from sfm_tpu.ba.schur import coobs_pairs
+
+        def shape_for(n_points):
+            obs_point = np.repeat(np.arange(n_points, dtype=np.int32), 3)
+            obs_valid = np.ones(len(obs_point), bool)
+            perm, valid = coobs_pairs(obs_point, obs_valid)
+            return perm.shape
+
+        # Growing G within one power-of-two bucket: same shape.
+        assert shape_for(40) == shape_for(64)
+        assert shape_for(65) == shape_for(128)
+        assert shape_for(40) != shape_for(65)
+        # Padded rows are dead (masked) slots.
+        obs_point = np.repeat(np.arange(40, dtype=np.int32), 3)
+        perm, valid = coobs_pairs(obs_point, np.ones(len(obs_point), bool))
+        assert valid[:40].sum() == 120 and not valid[40:].any()
+
+
 class TestBlockedBA:
     """Blocked (P, V) layout must agree with the flat-table LM."""
 
