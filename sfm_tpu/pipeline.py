@@ -36,6 +36,9 @@ class PipelineArgs:
     export_meshlab: bool = True
     visualize: bool = False
     trace_dir: Optional[str] = None   # xprof-compatible device trace output
+    checkpoint_dir: Optional[str] = None   # mid-reconstruction checkpoints
+    checkpoint_every: int = 0              # registrations between checkpoints
+    resume_checkpoint: Optional[str] = None  # resume from this .npz
 
 
 class SfMPipeline:
@@ -178,10 +181,18 @@ class SfMPipeline:
             with stage("reconstruct", self.metrics), self._maybe_trace():
                 sfm = StructureFromMotion(table, xy, self.config, metrics=self.metrics,
                                           desc=desc, feat_valid=feat_valid)
+                if self.args.resume_checkpoint:
+                    sfm.load_checkpoint(self.args.resume_checkpoint)
+                    logger.info("resumed from %s (%d cameras placed)",
+                                self.args.resume_checkpoint, len(sfm.reg_order))
                 # run_reconstruction routes to the global path itself when
                 # global_init.enabled (and falls back with a warning when
                 # num_images/checkpointing make the one-shot path unusable).
-                self.result = sfm.run_reconstruction(self.args.num_images)
+                self.result = sfm.run_reconstruction(
+                    self.args.num_images,
+                    checkpoint_dir=self.args.checkpoint_dir,
+                    checkpoint_every=self.args.checkpoint_every,
+                )
             for k in ("num_cameras", "num_points", "mean_reprojection_error"):
                 self.metrics.log(f"reconstruction/{k}", self.result.stats[k])
             recon_dir = self.output_dir / "reconstruction"

@@ -1,0 +1,69 @@
+"""bench.py outage hardening (round-3 verdict weak #1): when the TPU backend
+cannot initialize, the driver's record must still be one parseable JSON line
+with an "error" field — data, not a traceback."""
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+ROOT = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(ROOT))
+
+import bench  # noqa: E402
+
+
+def test_simulated_outage_emits_json_error_line(monkeypatch, capsys):
+    monkeypatch.setattr(
+        bench, "_probe_devices",
+        lambda: (_ for _ in ()).throw(RuntimeError("Unable to initialize backend 'axon'")),
+    )
+    with pytest.raises(RuntimeError, match="backend_unavailable"):
+        bench.init_backend(max_tries=2, timeout_s=5, backoffs=(0,))
+    try:
+        bench.init_backend(max_tries=1, timeout_s=5)
+    except RuntimeError as e:
+        bench.emit_error_line(e)
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    rec = json.loads(out)
+    assert rec["metric"] == "pairs_matched_per_sec"
+    assert rec["value"] is None
+    assert "backend_unavailable" in rec["error"]
+
+
+def test_simulated_outage_subprocess_rc0_json():
+    """End-to-end: `python bench.py` under a forced outage exits 0 and its
+    last stdout line parses as JSON with an error field."""
+    env = {"PATH": "/usr/bin:/bin", "HOME": "/root",
+           "SFM_BENCH_FORCE_BACKEND_FAIL": "1"}
+    p = subprocess.run(
+        [sys.executable, str(ROOT / "bench.py")],
+        capture_output=True, text=True, timeout=300, env=env,
+    )
+    assert p.returncode == 0, p.stderr[-2000:]
+    line = p.stdout.strip().splitlines()[-1]
+    rec = json.loads(line)
+    assert rec["value"] is None and "backend_unavailable" in rec["error"]
+
+
+def test_feats_cache_key_tracks_config_and_source(tmp_path, monkeypatch):
+    from sfm_tpu.config import SfMConfig, FeatureConfig
+    import dataclasses
+
+    a = bench._feats_cache_path(SfMConfig())
+    b = bench._feats_cache_path(
+        dataclasses.replace(SfMConfig(), features=FeatureConfig(max_keypoints=77)))
+    assert a != b  # config change invalidates
+    # Source change invalidates: point ROOT at a copy with one edited file.
+    import shutil
+    fake = tmp_path / "repo"
+    (fake / "sfm_tpu").mkdir(parents=True)
+    shutil.copytree(ROOT / "sfm_tpu" / "features", fake / "sfm_tpu" / "features")
+    monkeypatch.setattr(bench, "ROOT", fake)
+    c = bench._feats_cache_path(SfMConfig())
+    assert c == a  # identical sources -> identical key
+    f = sorted((fake / "sfm_tpu" / "features").glob("*.py"))[0]
+    f.write_text(f.read_text() + "\n# perturbed\n")
+    d = bench._feats_cache_path(SfMConfig())
+    assert d != a
