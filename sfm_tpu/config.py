@@ -164,6 +164,17 @@ class TriangulationConfig:
                                        # track no longer vetoes the whole
                                        # point (0 = the reference-style
                                        # all-views gate)
+    seed_pair_views: int = 8           # candidate views for seed-pair
+                                       # consensus (C(n,2) 2-view hypotheses
+                                       # per rescued track; <2 disables)
+    seed_pair_scope: str = "failed"    # "failed": consensus only for tracks
+                                       # the joint DLT rejects (a second
+                                       # dispatch over just those — measured
+                                       # corridor-200: 297/300 failures were
+                                       # 2-view recoverable, so paying 28
+                                       # hypotheses on PASSING tracks bought
+                                       # nothing); "all": every track, every
+                                       # call (round-3 behavior); "off"
 
 
 @dataclasses.dataclass(frozen=True)

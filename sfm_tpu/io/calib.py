@@ -47,3 +47,72 @@ def decompose_projection(P: np.ndarray):
     t = np.linalg.solve(K, P[:, 3])
     K = K / K[2, 2]
     return K, R, t
+
+
+def load_gt_poses(calib_dir):
+    """All ground-truth (K, R, t) in a calib/ dir, keyed by image index.
+
+    File stems are zero-padded image indices (bunny: 0000.txt..0035.txt).
+    """
+    poses = {}
+    for f in sorted(Path(calib_dir).glob("*.txt")):
+        try:
+            idx = int(f.stem)
+        except ValueError:
+            continue
+        K, R, t = decompose_projection(load_projection_matrix(f))
+        poses[idx] = (K, R, t)
+    return poses
+
+
+def umeyama(src: np.ndarray, dst: np.ndarray):
+    """Similarity (s, Q, T) minimizing ||dst - (s Q src + T)||^2 (Umeyama '91)."""
+    src = np.asarray(src, np.float64)
+    dst = np.asarray(dst, np.float64)
+    n = len(src)
+    mu_s, mu_d = src.mean(0), dst.mean(0)
+    src_c, dst_c = src - mu_s, dst - mu_d
+    cov = dst_c.T @ src_c / n
+    U, D, Vt = np.linalg.svd(cov)
+    S = np.eye(3)
+    if np.linalg.det(U) * np.linalg.det(Vt) < 0:
+        S[2, 2] = -1.0
+    Q = U @ S @ Vt
+    var = (src_c ** 2).sum() / n
+    s = float(np.trace(np.diag(D) @ S) / max(var, 1e-300))
+    T = mu_d - s * Q @ mu_s
+    return s, Q, T
+
+
+def evaluate_poses(R_est, t_est, R_gt, t_gt):
+    """Ground-truth pose accuracy after gauge (similarity) alignment.
+
+    R_*: (N, 3, 3) world->cam rotations; t_*: (N, 3). Aligns estimated
+    camera centers to GT centers with a Umeyama similarity, then reports
+    per-camera rotation error (deg) and the camera-center ATE (RMSE in GT
+    units, plus a scene-scale-relative variant). This grounds the quality
+    claim in the calib/ ground truth the reference never reads
+    (round-3 verdict next #9; self-consistency alone proves nothing about
+    gauge-level drift).
+    """
+    R_est = np.asarray(R_est, np.float64)
+    R_gt = np.asarray(R_gt, np.float64)
+    t_est = np.asarray(t_est, np.float64)
+    t_gt = np.asarray(t_gt, np.float64)
+    C_est = -np.einsum("nji,nj->ni", R_est, t_est)
+    C_gt = -np.einsum("nji,nj->ni", R_gt, t_gt)
+    s, Q, T = umeyama(C_est, C_gt)
+    d = (s * C_est @ Q.T + T) - C_gt
+    ate = float(np.sqrt((d ** 2).sum(axis=1).mean()))
+    extent = float(np.sqrt(((C_gt - C_gt.mean(0)) ** 2).sum(axis=1).mean()))
+    # Estimated cam rotation expressed in the GT world frame: R_est Q^T.
+    R_al = R_est @ Q.T
+    tr = np.einsum("nij,nij->n", R_gt, R_al)  # trace(R_gt^T R_al)
+    ang = np.degrees(np.arccos(np.clip((tr - 1.0) / 2.0, -1.0, 1.0)))
+    return {
+        "n_eval": int(len(R_est)),
+        "rot_err_deg_median": float(np.median(ang)),
+        "rot_err_deg_max": float(ang.max()),
+        "ate": ate,
+        "ate_rel": float(ate / max(extent, 1e-300)),
+    }

@@ -195,6 +195,7 @@ class SfMPipeline:
                 )
             for k in ("num_cameras", "num_points", "mean_reprojection_error"):
                 self.metrics.log(f"reconstruction/{k}", self.result.stats[k])
+            self._evaluate_against_gt()
             recon_dir = self.output_dir / "reconstruction"
             save_reconstruction(self.result, recon_dir)
 
@@ -215,6 +216,41 @@ class SfMPipeline:
         except Exception:
             logger.exception("reconstruction failed")
             return False
+
+    def _evaluate_against_gt(self):
+        """Pose accuracy vs data_dir/calib ground truth, when shipped.
+
+        Adds rot_err_deg_median / ate(_rel) to the result stats (and so to
+        stats.json + metrics.json). The bunny set carries 36 GT projection
+        matrices the reference never reads; reprojection error alone is
+        self-consistency, not ground truth."""
+        calib = self.data_dir / "calib"
+        if self.result is None or not calib.is_dir():
+            return
+        try:
+            import numpy as np
+
+            from sfm_tpu.io.calib import evaluate_poses, load_gt_poses
+
+            gt = load_gt_poses(calib)
+            ids = self.result.image_ids
+            have = np.array([int(i) in gt for i in ids])
+            if have.sum() < 3:
+                return
+            R_gt = np.stack([gt[int(i)][1] for i in ids[have]])
+            t_gt = np.stack([gt[int(i)][2] for i in ids[have]])
+            ev = evaluate_poses(self.result.rotations[have],
+                                self.result.translations[have], R_gt, t_gt)
+            self.result.stats.update({f"gt_{k}": v for k, v in ev.items()})
+            for k in ("rot_err_deg_median", "ate", "ate_rel"):
+                self.metrics.log(f"reconstruction/gt_{k}", ev[k])
+            logger.info(
+                "GT pose accuracy (%d cams): rot med %.3f deg, ATE %.4f (%.2f%% of scene)",
+                ev["n_eval"], ev["rot_err_deg_median"], ev["ate"],
+                100 * ev["ate_rel"],
+            )
+        except Exception:
+            logger.warning("ground-truth evaluation failed", exc_info=True)
 
     def run_full_pipeline(self) -> bool:
         """Stage 1 + 2 (main.py:262-277)."""

@@ -70,6 +70,72 @@ class TestTriangulationKnobs:
         assert not bool(ok_gated[0])
 
 
+class TestSeedPairKnobs:
+    """seed_pair_views / seed_pair_scope consumers (round-3 verdict next #7):
+    the C(n,2) consensus must be configurable and, under the default "failed"
+    scope, run as a second dispatch over only joint-DLT failures."""
+
+    def _fake_engine(self, scope, n_seed=8):
+        import contextlib
+        from types import SimpleNamespace
+        from sfm_tpu.reconstruction.incremental import StructureFromMotion
+        from sfm_tpu.config import TriangulationConfig, CameraConfig
+
+        K = np.array([[1000.0, 0, 256], [0, 1000.0, 256], [0, 0, 1]], np.float32)
+        # 6 cameras along x looking down +z; point at (0, 0, 10).
+        C = 6
+        centers = np.stack([np.linspace(-1.5, 1.5, C),
+                            np.zeros(C), np.zeros(C)], 1).astype(np.float32)
+        rvec = np.zeros((C, 3), np.float32)
+        tvec = -centers                      # R = I -> t = -center
+        X = np.array([0.0, 0.0, 10.0], np.float32)
+        xy = ((X[None, :3] - centers) / (X[2]))[:, :2] * 1000 + 256
+        # Corrupt views 3..5: consistent joint DLT poisoning the all-view
+        # solve beyond what drop-and-resolve (which starts FROM the poisoned
+        # solution) can recover.
+        xy_obs = xy.copy()
+        xy_obs[3:] += np.array([[80.0, -60.0], [-70.0, 90.0], [65.0, 75.0]])
+
+        eng = SimpleNamespace()
+        eng.config = SfMConfig(
+            camera=CameraConfig(),
+            triangulation=TriangulationConfig(
+                seed_pair_scope=scope, seed_pair_views=n_seed),
+        )
+        eng.tracks = SimpleNamespace(
+            view_img=np.arange(C, dtype=np.int32)[None, :].repeat(1, 0),
+            view_xy=xy_obs[None].astype(np.float32),
+            length=np.array([C], np.int32),
+        )
+        eng.view_valid = np.ones((1, C), bool)
+        eng.rvec, eng.tvec = rvec, tvec
+        eng.registered = np.ones(C, bool)
+        eng.point_valid = np.zeros(1, bool)
+        eng.points = np.zeros((1, 3), np.float32)
+        eng._camera_matrix = lambda: K
+        eng._stage = lambda name: contextlib.nullcontext()
+        n = StructureFromMotion._triangulate(eng)
+        return n, eng, X
+
+    def test_scope_failed_rescues_joint_dlt_failure(self):
+        n, eng, X = self._fake_engine("failed")
+        assert n == 1 and bool(eng.point_valid[0])
+        assert np.linalg.norm(eng.points[0] - X) < 0.2
+
+    def test_scope_all_matches_failed_rescue(self):
+        n, eng, X = self._fake_engine("all")
+        assert n == 1
+        assert np.linalg.norm(eng.points[0] - X) < 0.2
+
+    def test_scope_off_does_not_rescue(self):
+        n, eng, _ = self._fake_engine("off")
+        assert n == 0 and not bool(eng.point_valid[0])
+
+    def test_seed_pair_views_zero_disables(self):
+        n, eng, _ = self._fake_engine("failed", n_seed=0)
+        assert n == 0
+
+
 class TestMaskDilate:
     def test_dilate_admits_boundary_keypoints(self):
         from sfm_tpu.features import detect_and_describe

@@ -195,3 +195,64 @@ class TestColmapBinary:
                     xyz, res.points3d[pid - 1], atol=1e-6)
                 for image_id, p2d in track:
                     assert 1 <= image_id <= n_img and p2d >= 0
+
+
+class TestPoseEvaluation:
+    """GT pose metrics (round-3 verdict next #9): Umeyama gauge alignment +
+    rotation error / ATE must recover an exact similarity transform and
+    detect real rotational error."""
+
+    @staticmethod
+    def _random_poses(rng, n=12):
+        from scipy.spatial.transform import Rotation
+
+        R = Rotation.random(n, random_state=rng).as_matrix()
+        C = rng.uniform(-5, 5, (n, 3))
+        t = -np.einsum("nij,nj->ni", R, C)
+        return R, t
+
+    def test_exact_similarity_recovered(self):
+        from scipy.spatial.transform import Rotation
+        from sfm_tpu.io.calib import evaluate_poses
+
+        rng = np.random.default_rng(0)
+        R_gt, t_gt = self._random_poses(rng)
+        # est = gt re-expressed in a rotated/scaled/shifted world frame:
+        # X_est = Q_g^T (X_gt - T_g) / s_g  ->  R_est = R_gt Q_g, and centers
+        # transform as C_est = Q_g^T (C_gt - T_g) / s_g.
+        Q_g = Rotation.random(random_state=rng).as_matrix()
+        s_g, T_g = 2.7, np.array([1.0, -2.0, 3.0])
+        C_gt = -np.einsum("nji,nj->ni", R_gt, t_gt)
+        C_est = (C_gt - T_g) @ Q_g / s_g
+        R_est = R_gt @ Q_g
+        t_est = -np.einsum("nij,nj->ni", R_est, C_est)
+        ev = evaluate_poses(R_est, t_est, R_gt, t_gt)
+        # arccos near 1 loses ~half the mantissa: 1e-4 deg is exact recovery
+        assert ev["rot_err_deg_median"] < 1e-4
+        assert ev["ate"] < 1e-8
+
+    def test_rotation_error_detected(self):
+        from scipy.spatial.transform import Rotation
+        from sfm_tpu.io.calib import evaluate_poses
+
+        rng = np.random.default_rng(1)
+        R_gt, t_gt = self._random_poses(rng)
+        # Perturb every camera rotation by ~2 deg about random axes.
+        dR = Rotation.from_rotvec(
+            np.radians(2.0) * _unit_rows(rng.normal(size=(12, 3)))).as_matrix()
+        R_est = np.einsum("nij,njk->nik", dR, R_gt)
+        ev = evaluate_poses(R_est, t_gt, R_gt, t_gt)
+        assert 1.0 < ev["rot_err_deg_median"] < 3.0
+
+    def test_bunny_gt_loads_all_36(self, bunny_dir):
+        from sfm_tpu.io.calib import load_gt_poses
+
+        gt = load_gt_poses(bunny_dir / "calib")
+        assert sorted(gt.keys()) == list(range(36))
+        for K, R, t in gt.values():
+            assert np.allclose(R @ R.T, np.eye(3), atol=1e-8)
+            assert np.linalg.det(R) > 0.99
+
+
+def _unit_rows(v):
+    return v / np.linalg.norm(v, axis=-1, keepdims=True)
