@@ -218,7 +218,7 @@ def make_scene_corridor(rng, n_cams=1000, n_pts=30000, K_budget=512, D=128,
         d = desc_s[lo:hi][vis] + 0.03 * rng.normal(size=(k, D))
         desc[c, :k] = d / np.linalg.norm(d, axis=1, keepdims=True)
         valid[c, :k] = True
-    return xy, desc, valid
+    return xy, desc, valid, Rs.astype(np.float32), ts.astype(np.float32)
 
 
 def corridor(n_cams, n_pts):
@@ -230,7 +230,7 @@ def corridor(n_cams, n_pts):
 
     rng = np.random.default_rng(0)
     t0 = time.time()
-    xy, desc, valid = make_scene_corridor(rng, n_cams, n_pts)
+    xy, desc, valid, R_gt, t_gt = make_scene_corridor(rng, n_cams, n_pts)
     log("corridor scene: %d cams, %d pts, kps/cam mean %.0f (gen %.1fs)" % (
         n_cams, n_pts, valid.sum(1).mean(), time.time() - t0))
     # Global mode runs only ~3 BA solves: deeper per-solve iteration is the
@@ -258,6 +258,15 @@ def corridor(n_cams, n_pts):
         log("%s GLOBAL recon: %.1fs — cams=%d pts=%d err=%.3f tracklen=%.2f" % (
             rep, t_rec, s["num_cameras"], s["num_points"],
             s["mean_reprojection_error"], s["mean_track_length"]))
+        from sfm_tpu.io.calib import evaluate_poses
+
+        ids = res.image_ids
+        ev = evaluate_poses(res.rotations, res.translations,
+                            R_gt[ids], t_gt[ids])
+        log("%s GT accuracy: rot med %.3f deg (max %.2f), ATE %.4f "
+            "(%.3f%% of scene)" % (rep, ev["rot_err_deg_median"],
+                                   ev["rot_err_deg_max"], ev["ate"],
+                                   100 * ev["ate_rel"]))
         log("%s stage_s: %s" % (rep, {k: round(v, 1) for k, v in s["stage_s"].items()}))
         log("%s TOTAL (sweep+recon): %.1fs" % (rep, t_sweep + t_rec))
 

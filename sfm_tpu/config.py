@@ -267,6 +267,11 @@ class GlobalInitConfig:
     """
     enabled: bool = False              # pipeline uses run_global_reconstruction
     min_pair_inliers: int = 15         # pairs entering the averaging problem
+    pair_matches: int = 256            # inlier subsample per pair for the
+                                       # relative-pose GN (a 5-dof problem
+                                       # saturates well below the budget;
+                                       # bunny A/B in PROGRESS.md)
+    gn_iters: int = 10                 # Sampson Gauss-Newton polish steps
     power_iters: int = 48              # spectral power-iteration steps
     refine_iters: int = 10             # Lie-algebra IRLS rounds on rotations
                                        # (annealed Huber; the workhorse — the
@@ -281,6 +286,14 @@ class GlobalInitConfig:
     tri_relax: float = 3.0             # first-pass triangulation gate multiplier
                                        # (averaged poses are pre-BA: a strict
                                        # gate would reject most true points)
+    consistency_warn_deg: float = 10.0 # an edge whose measured rotation
+                                       # disagrees with the final model by
+                                       # more than this counts as graph
+                                       # corruption; >10% such edges logs an
+                                       # averaging-hostile-graph warning
+                                       # (reprojection error is blind to
+                                       # metric warps — bunny: 0.33 px at
+                                       # 34%-of-scene ATE)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -32,6 +32,7 @@ import logging
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as Pspec
 
 from sfm_tpu.geometry.epipolar import eight_point, recover_pose
 from sfm_tpu.geometry.rotations import rodrigues, rotation_to_rvec
@@ -64,7 +65,8 @@ def _solve6(H, g):
 
 
 def pairwise_relative_poses(table, K, min_inliers: int = 15,
-                            refine_gn_iters: int = 10):
+                            refine_gn_iters: int = 10,
+                            max_matches: int = 256, mesh=None):
     """Relative (R_ij, t_ij) for every accepted pair with enough inliers.
 
     Per pair: re-estimate E by the weighted 8-point solve on the pair's
@@ -79,6 +81,13 @@ def pairwise_relative_poses(table, K, min_inliers: int = 15,
     remote-TPU tunnel compiles those pathologically).
 
     Convention: x_j = R_ij x_i + t_ij with |t_ij| = 1.
+
+    ``max_matches`` bounds the inlier subsample per pair (a 5-dof problem
+    saturates well below the padded budget); ``mesh`` shards the pair axis
+    of every chunk over the device mesh — the per-pair GN is embarrassingly
+    parallel, so GSPMD splits the vmap with zero collectives (round-3
+    verdict next #3: this stage was the 512-camera global init's dominant
+    cost at 69 s on one chip).
 
     Returns dict of host arrays: ``pairs`` (P, 2) int32, ``R`` (P, 3, 3),
     ``t`` (P, 3), ``weight`` (P,) float32 (inlier count).
@@ -107,10 +116,11 @@ def pairwise_relative_poses(table, K, min_inliers: int = 15,
     xy1 = table.xy1[rows]
     xy2 = table.xy2[rows]
     # A 5-dof relative pose needs nowhere near the full padded match budget:
-    # keep the first 256 INLIER slots per pair (stable argsort moves inliers
-    # to the front, preserving match-quality order). At 512 cams / 104k
-    # accepted pairs this cut the averaging stage's dominant cost 4x.
-    S = 256
+    # keep the first ``max_matches`` INLIER slots per pair (stable argsort
+    # moves inliers to the front, preserving match-quality order). At 512
+    # cams / 104k accepted pairs the cut from 1024 to 256 shrank the
+    # averaging stage's dominant cost 4x.
+    S = max_matches
     if xy1.shape[1] > S:
         order = np.argsort(~inl, axis=1, kind="stable")[:, :S]
         ridx = np.arange(len(rows))[:, None]
@@ -133,9 +143,8 @@ def pairwise_relative_poses(table, K, min_inliers: int = 15,
         den = Ex1[:, 0] ** 2 + Ex1[:, 1] ** 2 + Etx2[:, 0] ** 2 + Etx2[:, 1] ** 2
         return wts * num / jnp.sqrt(jnp.maximum(den, 1e-12))
 
-    @jax.jit
     @f32_matmuls
-    def _all(xn1, xn2, w):
+    def _all_impl(xn1, xn2, w):
         def one(x1, x2, w1):
             E = eight_point(x1, x2, weights=w1)
             n, R, t, mask = recover_pose(E, x1, x2, eye3, weights=w1)
@@ -168,9 +177,21 @@ def pairwise_relative_poses(table, K, min_inliers: int = 15,
     # Chunk the pair axis: at M=1024 matches the GN Jacobian alone is
     # (M, 6) floats per pair — one program over 100k+ pairs would blow HBM.
     # Fixed chunk size = one compile, many launches (the sweep's pattern).
+    # With a mesh, each chunk's pair axis is sharded across it (GSPMD splits
+    # the vmap; the per-pair program has no cross-pair dependence).
+    if mesh is not None:
+        axis = mesh.axis_names[0]
+        shard = NamedSharding(mesh, Pspec(axis))
+        repl = NamedSharding(mesh, Pspec())
+        _all = jax.jit(_all_impl, in_shardings=(shard, shard, shard),
+                       out_shardings=repl)
+        n_dev = mesh.devices.size
+    else:
+        _all = jax.jit(_all_impl)
+        n_dev = 1
     P_rows = xn1.shape[0]
     chunk = 2048
-    if P_rows <= chunk:
+    if P_rows <= chunk and P_rows % n_dev == 0:
         R, t, n_good = _all(xn1, xn2, w)
     else:
         pad = (-P_rows) % chunk
@@ -588,13 +609,15 @@ def cycle_consistency_weights(pairs, R_rel, sigma_deg: float = 15.0,
 # --------------------------------------------------------------------------
 
 
-def global_poses(table, K, num_images, config=None):
+def global_poses(table, K, num_images, config=None, mesh=None,
+                 return_rel=False):
     """Solve all camera poses from the verified-pair table.
 
     Returns (rvec (N, 3), tvec (N, 3), placed (N,) bool) in the engine's
     x_cam = R x_world + t convention (t = -R C). ``placed`` marks cameras
     covered by at least one averaging pair; the rest keep identity and are
-    left to guided registration.
+    left to guided registration. ``mesh`` shards the relative-pose stage
+    (the init's dominant cost at scale) across devices.
     """
     from sfm_tpu.config import GlobalInitConfig
 
@@ -602,7 +625,11 @@ def global_poses(table, K, num_images, config=None):
 
     cfg = config or GlobalInitConfig()
     t0 = _time.time()
-    rel = pairwise_relative_poses(table, K, min_inliers=cfg.min_pair_inliers)
+    rel = pairwise_relative_poses(
+        table, K, min_inliers=cfg.min_pair_inliers,
+        refine_gn_iters=cfg.gn_iters, max_matches=cfg.pair_matches,
+        mesh=mesh,
+    )
     t1 = _time.time()
     P = rel["pairs"].shape[0]
     w = rel["weight"]
@@ -639,4 +666,25 @@ def global_poses(table, K, num_images, config=None):
     placed[rel["pairs"].ravel()] = True
     rvec = np.asarray(rotation_to_rvec(jnp.asarray(R_abs)), np.float32)
     tvec = -np.einsum("nab,nb->na", R_abs, C).astype(np.float32)
+    if return_rel:
+        rel["weight_eff"] = w
+        return rvec, tvec, placed, rel
     return rvec, tvec, placed
+
+
+def pair_rotation_residuals(rvec, pairs, R_rel):
+    """Angular residual (deg) of model rotations vs measured pair rotations.
+
+    The one self-diagnostic a global reconstruction has without ground
+    truth: reprojection error is blind to metric warps (bunny measured:
+    0.33 px reprojection at 34%-of-scene ATE), but a model that disagrees
+    with its own high-weight relative-rotation measurements flags an
+    averaging-hostile graph (occluding-contour false consensus, weak
+    cycles).
+    """
+    R_abs = np.asarray(rodrigues(jnp.asarray(rvec)))
+    Ri = R_abs[pairs[:, 0]]
+    Rj = R_abs[pairs[:, 1]]
+    E = np.einsum("pba,pbc,pcd->pad", Rj, np.asarray(R_rel), Ri)
+    tr = np.clip((np.trace(E, axis1=1, axis2=2) - 1.0) * 0.5, -1.0, 1.0)
+    return np.degrees(np.arccos(tr))

@@ -79,19 +79,34 @@ def build_tracks(table, xy, num_images: int, max_views: int | None = None) -> Tr
 
     # Edge list over flat (image, keypoint) node ids, one edge per inlier
     # match of every accepted pair — all pairs at once, no Python loop.
-    inl = table.inliers[rows] & table.match_valid[rows]          # (R, M)
-    i = table.pairs[rows, 0].astype(np.int64)
-    j = table.pairs[rows, 1].astype(np.int64)
-    ea = (i[:, None] * K + table.idx1[rows].astype(np.int64))[inl]
-    eb = (j[:, None] * K + table.idx2[rows].astype(np.int64))[inl]
-    if len(ea) == 0:
+    # Work on the nonzero SUBSET from the start: materializing (R, M) int64
+    # intermediates cost 50+ s at 512 cams / 104k pairs (round-3 verdict
+    # next #3 — this host build bounded the global init); E-sized gathers
+    # plus an O(N*K) presence-array compaction (no unique sort) run in
+    # seconds at the same scale.
+    inl = table.inliers[rows]                                    # (R, M) bool copy
+    np.logical_and(inl, table.match_valid[rows], out=inl)
+    r_idx, c_idx = np.nonzero(inl)                               # (E,)
+    del inl
+    if len(r_idx) == 0:
         return _empty_table(N, K, max_views or 2)
+    rr = rows[r_idx]
+    nk = N * K
+    dt = np.int32 if nk < 2**31 else np.int64
+    ea = table.pairs[rr, 0].astype(dt) * K + table.idx1[rr, c_idx]
+    eb = table.pairs[rr, 1].astype(dt) * K + table.idx2[rr, c_idx]
 
-    # Compact the touched nodes and run union-find as sparse CC (C speed).
-    nodes, inv = np.unique(np.concatenate([ea, eb]), return_inverse=True)
+    # Compact the touched nodes (presence scan over the small N*K id space)
+    # and run union-find as sparse CC (C speed).
+    present = np.zeros(nk, bool)
+    present[ea] = True
+    present[eb] = True
+    nodes = np.nonzero(present)[0].astype(dt)
     n = len(nodes)
+    remap = np.empty(nk, dt)
+    remap[nodes] = np.arange(n, dtype=dt)
     g = sp.coo_matrix(
-        (np.ones(len(ea), np.int8), (inv[: len(ea)], inv[len(ea):])),
+        (np.ones(len(ea), np.int8), (remap[ea], remap[eb])),
         shape=(n, n),
     )
     ncomp, label = connected_components(g, directed=False)

@@ -164,6 +164,11 @@ class TestGlobalReconstruction:
         assert len(res.image_ids) == 8
         assert res.stats["mean_reprojection_error"] < 1.0
         assert res.stats["num_points"] > 100
+        # Consistency self-diagnostic: a clean synthetic graph must agree
+        # with its own pair rotations; bunny's hostile graph measures ~24%
+        # of edges >10 deg off any rigid model.
+        assert res.stats["global_pair_residual_deg"] < 2.0
+        assert res.stats["global_pair_outlier_frac"] < 0.05
         for k, img in enumerate(res.image_ids):
             if k == 0:
                 R0_est, R0_gt = res.rotations[0], scene["R"][res.image_ids[0]]
@@ -210,3 +215,26 @@ class TestEntryPointRouting:
                             fake_global)
         assert sfm.run_reconstruction() == "sentinel"
         assert called.get("global")
+
+
+class TestPairRotationResiduals:
+    def test_zero_for_exact_and_large_for_corrupt(self, rng):
+        from scipy.spatial.transform import Rotation
+        from sfm_tpu.geometry import rotation_to_rvec
+        from sfm_tpu.reconstruction.global_init import pair_rotation_residuals
+        import jax.numpy as jnp
+
+        N = 10
+        R_abs = Rotation.random(N, random_state=rng).as_matrix().astype(np.float32)
+        pairs = np.array([(i, j) for i in range(N) for j in range(i + 1, N)],
+                         np.int32)[:20]
+        R_rel = np.einsum("pab,pcb->pac", R_abs[pairs[:, 1]], R_abs[pairs[:, 0]])
+        rvec = np.asarray(rotation_to_rvec(jnp.asarray(R_abs)))
+        res = pair_rotation_residuals(rvec, pairs, R_rel)
+        assert res.max() < 0.1
+        # Corrupt half the edges by 30 degrees.
+        bad = np.arange(0, 20, 2)
+        spin = Rotation.from_rotvec(np.radians(30) * np.eye(3)[0]).as_matrix()
+        R_rel[bad] = np.einsum("ab,pbc->pac", spin, R_rel[bad])
+        res = pair_rotation_residuals(rvec, pairs, R_rel)
+        assert np.all(res[bad] > 25.0) and np.all(res[np.arange(1, 20, 2)] < 0.1)
