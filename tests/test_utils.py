@@ -89,7 +89,11 @@ class TestRescue:
             inliers=np.ones((P, M), bool),
         )
         # Image 0 has no accepted pair -> its best sub-gate pair (0,1; 10 inl)
-        # must be re-admitted.
+        # must be re-admitted. accept is a READ-ONLY array here (as when the
+        # table holds np.asarray views of device buffers — regression: the
+        # in-place rescue crashed with 'assignment destination is read-only'
+        # on the first real scene that needed it).
+        table.accept.flags.writeable = False
         n = rescue_disconnected(table, 3)
         assert n == 1
         assert table.accept[0]
