@@ -44,11 +44,57 @@ def dog_extrema_scores(dog, contrast_threshold: float, edge_threshold: float):
     re-applied to the REFINED value in :func:`refine_and_gate` (the refined
     contrast of a surviving extremum can exceed its raw value, hence the
     slack factor).
+
+    The strict 26-neighbor test runs as SEPARABLE row/column reductions
+    (the center is excluded by composing the same-layer 8-neighbor max from
+    x-window maxes of the adjacent rows + the two same-row neighbors): ~20
+    VPU ops/pixel vs ~52 for pairwise shifted compares, exactly equal output
+    (see :func:`_dog_extrema_scores_ref`, the oracle the tests pin this to).
+    Border wrap from jnp.roll is harmless: the in-bounds border (5 px)
+    exceeds the 1-px window radius, so wrapped values never reach a scored
+    pixel.
     """
     D = dog
     center = D[1:-1]  # (S, h, w)
 
-    # --- 26-neighbor extremum test (vectorized shifts) ---------------------
+    def _nbmax(red):
+        # x-window (3-tap) reduction per layer, full stack.
+        Hx = red(red(D, _shift2d(D, 0, 1)), _shift2d(D, 0, -1))
+        # Full 3x3 spatial window per layer (for the ds = +-1 layers).
+        Hxy = red(red(Hx, _shift2d(Hx, 1, 0)), _shift2d(Hx, -1, 0))
+        # Same-layer 8 neighbors EXCLUDING center: the two adjacent rows'
+        # 3-wide maxes + the two same-row neighbors.
+        N8 = red(
+            red(_shift2d(Hx, 1, 0), _shift2d(Hx, -1, 0)),
+            red(_shift2d(D, 0, 1), _shift2d(D, 0, -1)),
+        )
+        # 26-neighbor reduction for interior layers 1..S.
+        return red(red(Hxy[:-2], Hxy[2:]), N8[1:-1])
+
+    is_max = center > _nbmax(jnp.maximum)
+    is_min = center < _nbmax(jnp.minimum)
+    extremum = is_max | is_min
+
+    h, w = center.shape[-2:]
+    yy = jnp.arange(h)[None, :, None]
+    xx = jnp.arange(w)[None, None, :]
+    border = 5
+    in_bounds = (yy >= border) & (yy < h - border) & (xx >= border) & (xx < w - border)
+
+    raw = jnp.abs(center)
+    good = extremum & in_bounds & (raw >= 0.5 * contrast_threshold)
+    return {"score": jnp.where(good, raw, 0.0)}
+
+
+def _dog_extrema_scores_ref(dog, contrast_threshold: float,
+                            edge_threshold: float):
+    """Oracle for :func:`dog_extrema_scores`: pairwise shifted compares.
+
+    The direct transcription of the strict 26-neighbor test (52 compares);
+    kept only so tests can pin the separable production path to it exactly.
+    """
+    D = dog
+    center = D[1:-1]  # (S, h, w)
     is_max = jnp.ones_like(center, dtype=bool)
     is_min = jnp.ones_like(center, dtype=bool)
     for ds in (-1, 0, 1):
@@ -67,7 +113,6 @@ def dog_extrema_scores(dog, contrast_threshold: float, edge_threshold: float):
     xx = jnp.arange(w)[None, None, :]
     border = 5
     in_bounds = (yy >= border) & (yy < h - border) & (xx >= border) & (xx < w - border)
-
     raw = jnp.abs(center)
     good = extremum & in_bounds & (raw >= 0.5 * contrast_threshold)
     return {"score": jnp.where(good, raw, 0.0)}

@@ -38,6 +38,40 @@ def blob_image(rng, size=128, n_blobs=12, seed_positions=None):
     return np.clip(img, 0, 1), np.asarray(seed_positions)
 
 
+class TestExtremaSeparable:
+    """The separable strict 26-neighbor test must equal the pairwise oracle."""
+
+    def test_exact_equality_random(self, rng):
+        from sfm_tpu.features.detect import (
+            dog_extrema_scores, _dog_extrema_scores_ref)
+
+        dog = jnp.asarray(rng.normal(scale=0.02, size=(5, 48, 64)).astype(np.float32))
+        got = dog_extrema_scores(dog, 0.006, 10.0)["score"]
+        want = _dog_extrema_scores_ref(dog, 0.006, 10.0)["score"]
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_exact_equality_with_plateaus(self, rng):
+        # Engineered exact ties (a plateau of equal values): the strict test
+        # must reject BOTH plateau pixels, identically in both paths.
+        from sfm_tpu.features.detect import (
+            dog_extrema_scores, _dog_extrema_scores_ref)
+
+        d = rng.normal(scale=0.02, size=(5, 40, 40)).astype(np.float32)
+        d[2, 16, 16] = d[2, 16, 17] = 0.5       # same-row tie
+        d[2, 24, 24] = d[3, 24, 24] = -0.5      # cross-layer tie
+        d[1, 8, 8] = 0.7                        # genuine strict extremum
+        d[1, 7:10, 7:10] = np.minimum(d[1, 7:10, 7:10], 0.1)
+        d[1, 8, 8] = 0.7
+        d[0, 7:10, 7:10] = np.minimum(d[0, 7:10, 7:10], 0.1)
+        d[2, 7:10, 7:10] = np.minimum(d[2, 7:10, 7:10], 0.1)
+        dog = jnp.asarray(d)
+        got = np.asarray(dog_extrema_scores(dog, 0.006, 10.0)["score"])
+        want = np.asarray(_dog_extrema_scores_ref(dog, 0.006, 10.0)["score"])
+        np.testing.assert_array_equal(got, want)
+        assert got[0, 8, 8] == np.float32(0.7)   # the strict extremum survives
+        assert got[1, 16, 16] == 0 and got[1, 16, 17] == 0  # ties rejected
+
+
 class TestDetection:
     def test_blobs_detected(self, rng):
         img, pos = blob_image(rng)
