@@ -249,18 +249,43 @@ def corridor(n_cams, n_pts, mode="global"):
         triangulation=TriangulationConfig(cadence=2),
         global_init=GlobalInitConfig(enabled=glob),
     )
+    # The tunnel's remote-compile path fails transiently under load; a flake
+    # mid-reconstruction must not lose a completed 16-minute sweep. The cold
+    # sweep result (with its recorded wall-clock) is cached on disk per
+    # scene+config; reconstruction attempts retry once on JaxRuntimeError.
+    sweep_cache = Path("/tmp/corridor_sweep_%d_%d.pkl" % (n_cams, n_pts))
     for rep in ("cold", "warm"):
-        t0 = time.time()
-        table = all_pairs_sweep(xy, desc, valid, cfg)
-        t_sweep = time.time() - t0
+        if rep == "cold" and sweep_cache.exists():
+            with open(sweep_cache, "rb") as f:
+                blob = pickle.load(f)
+            table, t_sweep = blob["table"], blob["t_sweep"]
+            log("cold sweep: %.1fs for %d pairs (%.0f pairs/s) [cached from "
+                "previous run]" % (t_sweep, table.num_pairs,
+                                   table.num_pairs / t_sweep))
+        else:
+            t0 = time.time()
+            table = all_pairs_sweep(xy, desc, valid, cfg)
+            t_sweep = time.time() - t0
+            if rep == "cold":
+                with open(sweep_cache, "wb") as f:
+                    pickle.dump({"table": table, "t_sweep": t_sweep}, f)
         acc = table.accepted()
         log("%s sweep: %.1fs for %d pairs (%.0f pairs/s), %d accepted (%.1f%%)" % (
             rep, t_sweep, table.num_pairs, table.num_pairs / t_sweep,
             len(acc), 100.0 * len(acc) / table.num_pairs))
         t0 = time.time()
-        sfm = StructureFromMotion(table, xy, cfg)
-        res = (sfm.run_global_reconstruction() if glob
-               else sfm.run_reconstruction())
+        for attempt in range(3):
+            try:
+                sfm = StructureFromMotion(table, xy, cfg)
+                res = (sfm.run_global_reconstruction() if glob
+                       else sfm.run_reconstruction())
+                break
+            except Exception as e:  # transient tunnel compile/dispatch flake
+                if attempt == 2 or "JaxRuntimeError" not in type(e).__name__:
+                    raise
+                log("recon attempt %d failed (%s); retrying in 60s" % (
+                    attempt + 1, str(e)[:120]))
+                time.sleep(60)
         t_rec = time.time() - t0
         s = res.stats
         log("%s %s recon: %.1fs — cams=%d pts=%d err=%.3f tracklen=%.2f" % (
