@@ -273,6 +273,13 @@ class GlobalInitConfig:
                                        # bunny A/B in PROGRESS.md)
     gn_iters: int = 10                 # Sampson Gauss-Newton polish steps
     power_iters: int = 48              # spectral power-iteration steps
+    tree_init: bool = True             # seed both averagings from a
+                                       # max-weight spanning-tree composition:
+                                       # spectral/CG propagate one graph-hop
+                                       # per iteration, so a zero start never
+                                       # converges on large-diameter graphs
+                                       # (1000-cam corridor: 15.5 deg median
+                                       # rotation error vs GT without it)
     refine_iters: int = 10             # Lie-algebra IRLS rounds on rotations
                                        # (annealed Huber; the workhorse — the
                                        # spectral init alone is fragile when

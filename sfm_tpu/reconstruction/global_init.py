@@ -307,8 +307,103 @@ def _gram_schmidt3(X):
     return jnp.stack([c0, c1, c2], axis=1)
 
 
+def spanning_forest(pairs, weights, num_images):
+    """Max-weight spanning forest of the pair graph, as BFS edge sequences.
+
+    Returns (child, parent, edge, flip) int/bool arrays ordered so every
+    parent appears (as a child or root) before its children — composing
+    per-edge quantities in this order initializes each node from an
+    already-initialized parent. ``flip`` marks edges stored as
+    (child, parent), i.e. the relative measurement must be inverted.
+    Host/scipy: milliseconds even at 500k edges.
+    """
+    import scipy.sparse as sp
+    from scipy.sparse.csgraph import breadth_first_order, minimum_spanning_tree
+
+    pairs = np.asarray(pairs)
+    w = np.asarray(weights, np.float64)
+    N = num_images
+    i_idx, j_idx = pairs[:, 0], pairs[:, 1]
+    # Dedup parallel edges keeping the best weight (coo->csr would SUM them).
+    key = np.minimum(i_idx, j_idx).astype(np.int64) * N + np.maximum(i_idx, j_idx)
+    order = np.lexsort((w, key))
+    last = np.r_[key[order][1:] != key[order][:-1], True]
+    keep = order[last]                       # best-weight edge per (i, j)
+    eid = sp.csr_matrix(
+        (keep + 1, (i_idx[keep], j_idx[keep])), shape=(N, N))  # 1-based ids
+    # Max-weight forest == min spanning tree on negated weights. Shift below
+    # zero so csgraph never confuses a real weight with "no edge" (0).
+    g = sp.csr_matrix((-(w[keep] + 1.0), (i_idx[keep], j_idx[keep])),
+                      shape=(N, N))
+    T = minimum_spanning_tree(g + g.T)
+    T = (T + T.T).tocsr()
+
+    child, parent = [], []
+    seen = np.zeros(N, bool)
+    deg = np.diff(T.indptr)
+    for root in np.nonzero(deg > 0)[0]:
+        if seen[root]:
+            continue
+        nodes, preds = breadth_first_order(
+            T, int(root), directed=False, return_predecessors=True)
+        seen[nodes] = True
+        child.append(nodes[1:])              # BFS order: parents first
+        parent.append(preds[nodes[1:]])
+    if not child:
+        z = np.zeros(0, np.int32)
+        return z, z, z, np.zeros(0, bool)
+    child = np.concatenate(child).astype(np.int32)
+    parent = np.concatenate(parent).astype(np.int32)
+    e_fwd = np.asarray(eid[parent, child]).ravel()   # stored (parent, child)?
+    e_rev = np.asarray(eid[child, parent]).ravel()
+    flip = e_fwd == 0                        # stored as (child, parent)
+    edge = np.where(flip, e_rev, e_fwd).astype(np.int64) - 1
+    return child, parent, edge, flip
+
+
+def tree_init_rotations(forest, R_rel, num_images):
+    """Compose absolute rotations along a spanning forest (R_j = R_ij R_i).
+
+    On long weakly-connected graphs (ordered corridors: diameter ~N/window)
+    the spectral power iteration and Laplacian CG propagate information only
+    one graph-hop per matmul, so no fixed iteration budget can converge the
+    gauge across the chain; composing along the max-weight tree is exact up
+    to the per-edge noise random walk and puts the iterative stages in their
+    locally-convergent regime.
+    """
+    child, parent, edge, flip = forest
+    R_rel = np.asarray(R_rel, np.float64)
+    R0 = np.tile(np.eye(3), (num_images, 1, 1))
+    for c, p, e, f in zip(child, parent, edge, flip):
+        Rij = R_rel[e]
+        R0[c] = (Rij.T if f else Rij) @ R0[p]
+    return R0.astype(np.float32)
+
+
+def tree_init_centers(forest, R_abs, pairs, t_rel, num_images):
+    """Compose camera centers along the forest with unit per-edge baselines.
+
+    Only the baseline DIRECTION d = unit(-R_j^T t_ij) is measured; unit
+    lengths give the right topology (the ridge CG then resolves relative
+    scales locally, which it does well — it is the global gauge it cannot
+    propagate from a zero start on a chain).
+    """
+    child, parent, edge, flip = forest
+    pairs = np.asarray(pairs)
+    R_abs = np.asarray(R_abs, np.float64)
+    t_rel = np.asarray(t_rel, np.float64)
+    j = pairs[:, 1]
+    d_all = -np.einsum("pba,pb->pa", R_abs[j], t_rel)   # C_j - C_i direction
+    d_all /= np.maximum(np.linalg.norm(d_all, axis=-1, keepdims=True), 1e-12)
+    C0 = np.zeros((num_images, 3))
+    for c, p, e, f in zip(child, parent, edge, flip):
+        C0[c] = C0[p] - d_all[e] if f else C0[p] + d_all[e]
+    return C0.astype(np.float32)
+
+
 def rotation_averaging(
-    pairs, R_rel, weights, num_images, power_iters: int = 48, refine_iters: int = 10
+    pairs, R_rel, weights, num_images, power_iters: int = 48,
+    refine_iters: int = 10, init=None,
 ):
     """Absolute rotations (N, 3, 3) from pairwise R_ij (x_j = R_ij x_i ...).
 
@@ -320,6 +415,10 @@ def rotation_averaging(
     Huber-downweighted residuals (robustness the spectral step lacks).
     Cameras not touched by any pair get the identity.
 
+    ``init``: optional (N, 3, 3) starting rotations (spanning-tree
+    composition, :func:`tree_init_rotations`) seeding the power iteration —
+    required for convergence on large-diameter graphs (see that docstring).
+
     Everything is one jitted loop-free program: the (3N, 3N) x (3N, 3)
     power-iteration matmuls and the (N, N) Laplacian CG run on the MXU.
     """
@@ -330,10 +429,13 @@ def rotation_averaging(
     Rr = jnp.asarray(R_rel, jnp.float32)
     w = jnp.asarray(weights, jnp.float32)
     w = w / jnp.maximum(jnp.mean(w), _EPS)
+    X0 = jnp.asarray(
+        np.tile(np.eye(3, dtype=np.float32), (N, 1)) if init is None
+        else np.asarray(init, np.float32).reshape(3 * N, 3))
 
     @jax.jit
     @f32_matmuls
-    def _solve(i_idx, j_idx, Rr, w):
+    def _solve(i_idx, j_idx, Rr, w, X):
         # ---- spectral init -------------------------------------------------
         # G[3i:3i+3, 3j:3j+3] = w R_ij^T (and transpose block at (j, i)):
         # for Z stacking Z_i = R_i, G_ij Z_j = R_ij^T R_j = R_i.
@@ -352,7 +454,6 @@ def rotation_averaging(
         dinv = 1.0 / jnp.maximum(deg, 1.0)
         Gn = G * jnp.repeat(dinv, 3)[:, None]
 
-        X = jnp.tile(jnp.eye(3, dtype=jnp.float32), (N, 1))  # (3N, 3)
         for _ in range(power_iters):
             X = Gn @ X + X  # (I + D^-1 G): shifts the spectrum positive
             X = _gram_schmidt3(X)
@@ -407,17 +508,22 @@ def rotation_averaging(
             R0 = refine(R0, delta)
         return R0
 
-    return np.asarray(_solve(i_idx, j_idx, Rr, w))
+    return np.asarray(_solve(i_idx, j_idx, Rr, w, X0))
 
 
-def _cg(A, b, iters: int):
+def _cg(A, b, iters: int, x0=None):
     """Unrolled conjugate gradient for SPD (N, N) against (N, k) RHS.
 
     Loop-free (python-unrolled): each step is one (N, N) @ (N, k) matvec +
     scalar recurrences — fused by XLA, no lowered while-loop (tunnel rule).
+    ``x0`` warm-starts the iteration (residual-space CG).
     """
-    x = jnp.zeros_like(b)
-    r = b
+    if x0 is None:
+        x = jnp.zeros_like(b)
+        r = b
+    else:
+        x = x0
+        r = b - A @ x0
     p = r
     rs = jnp.sum(r * r)
     for _ in range(iters):
@@ -438,7 +544,7 @@ def _cg(A, b, iters: int):
 
 def translation_averaging(
     pairs, R_abs, t_rel, weights, num_images,
-    als_rounds: int = 3, cg_iters: int = 80,
+    als_rounds: int = 3, cg_iters: int = 80, init=None,
 ):
     """Camera centers (N, 3) from pairwise baseline directions.
 
@@ -462,6 +568,18 @@ def translation_averaging(
     afterwards: median measured baseline = 1 (matches the incremental
     path's |t| = 1 seed convention). Cameras in no pair sit at the origin
     (they are re-localized later by guided PnP).
+
+    ``init``: optional (N, 3) starting centers (spanning-tree composition,
+    :func:`tree_init_centers`). With an init the solver switches from the
+    ridge-sign solve to scale-explicit ALS: estimate per-edge baseline
+    lengths s_p = <C_j - C_i, d_p> from the current embedding, then solve
+    the well-posed weighted Laplacian LSQ  sum_p w_p |C_j - C_i - s_p d_p|^2
+    with CG warm-started at the current C. The ridge-sign solve is kept for
+    init=None but is structurally blind on large-diameter graphs: its sign
+    functional q_k = sum_in d - sum_out d CANCELS at interior chain nodes
+    (measured on a 240-node corridor chain: median center error ~ the full
+    scene extent), while the ALS residual around a tree init is local and
+    converges regardless of diameter.
     """
     N = num_images
     i_idx = jnp.asarray(pairs[:, 0], jnp.int32)
@@ -471,10 +589,13 @@ def translation_averaging(
     Rj = jnp.asarray(R_abs, jnp.float32)[j_idx]
     d = -jnp.einsum("pba,pb->pa", Rj, jnp.asarray(t_rel, jnp.float32))
     d = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), _EPS)
+    C_init = jnp.asarray(
+        np.zeros((N, 3), np.float32) if init is None
+        else np.asarray(init, np.float32))
 
     @jax.jit
     @f32_matmuls
-    def _solve(i_idx, j_idx, d, w):
+    def _solve(i_idx, j_idx, d, w, C):
         eye3 = jnp.eye(3, dtype=jnp.float32)
         Proj = eye3[None] - d[:, :, None] * d[:, None, :]  # (P, 3, 3)
         rows3 = 3 * i_idx[:, None, None] + jnp.arange(3)[None, :, None]
@@ -491,32 +612,69 @@ def translation_averaging(
             q = q.at[j_idx].add(wp[:, None] * d).at[i_idx].add(-wp[:, None] * d)
             return M, q.reshape(-1)
 
-        C = jnp.zeros((N, 3), jnp.float32)
+        def residual_weights(C):
+            base = C[j_idx] - C[i_idx]
+            bn = jnp.maximum(jnp.linalg.norm(base, axis=-1), _EPS)
+            proj = jnp.einsum("pa,pa->p", base, d)
+            sin_res = jnp.linalg.norm(base - proj[:, None] * d, axis=-1) / bn
+            wp = w * jnp.where(sin_res > 0.05, 0.05 / sin_res, 1.0)
+            # The perpendicular residual is sign-blind: a pair whose
+            # direction landed on the flipped (twisted-pair) sign fits
+            # sin_res ~ 0 with d = -true. The projection onto the
+            # CURRENT embedding exposes it — negative projection means
+            # the measured sign disagrees with the consensus layout.
+            wp = jnp.where(proj < 0, wp * 1e-2, wp)
+            return wp, proj
+
+        # Ridge-sign solve: robust on well-connected graphs (no init needed).
+        C_r = C * 0.0
         wp = w
         for k in range(max(als_rounds, 1)):
             if k > 0:
-                base = C[j_idx] - C[i_idx]
-                bn = jnp.maximum(jnp.linalg.norm(base, axis=-1), _EPS)
-                proj = jnp.einsum("pa,pa->p", base, d)
-                sin_res = jnp.linalg.norm(
-                    base - proj[:, None] * d, axis=-1
-                ) / bn
-                wp = w * jnp.where(sin_res > 0.05, 0.05 / sin_res, 1.0)
-                # The perpendicular residual is sign-blind: a pair whose
-                # direction landed on the flipped (twisted-pair) sign fits
-                # sin_res ~ 0 with d = -true. The projection onto the
-                # CURRENT embedding exposes it — negative projection means
-                # the measured sign disagrees with the consensus layout.
-                wp = jnp.where(proj < 0, wp * 1e-2, wp)
+                wp, _ = residual_weights(C_r)
             M, q = assemble(wp)
             eps = 1e-3 * jnp.trace(M) / (3 * N) + 1e-8
             x = _cg(M + eps * jnp.eye(3 * N, dtype=jnp.float32),
                     q[:, None], iters=cg_iters)[:, 0]
-            C = x.reshape(N, 3)
+            C_r = x.reshape(N, 3)
+            C_r = C_r - jnp.mean(C_r, axis=0, keepdims=True)
+        if init is None:
+            return C_r
+
+        # Tree init available: pick the better of (ridge, tree) under the
+        # sign-aware direction residual, then ALS-refine from the winner.
+        # The ridge solve wins on well-connected graphs (the tree's unit
+        # baselines distort heterogeneous-scale scenes and ALS alone can
+        # stall in that distorted basin); the tree wins on chains, where the
+        # ridge's sign functional cancels (see docstring).
+        def score(Ce):
+            base = Ce[j_idx] - Ce[i_idx]
+            bn = jnp.maximum(jnp.linalg.norm(base, axis=-1), _EPS)
+            cos = jnp.einsum("pa,pa->p", base, d) / bn
+            return jnp.sum(w * (1.0 - cos)) / jnp.maximum(jnp.sum(w), _EPS)
+
+        C = jnp.where(score(C_r) <= score(C), C_r, C)
+        # Scale-explicit ALS around the winner (see docstring).
+        for k in range(max(als_rounds, 1)):
+            wp, proj = residual_weights(C)
+            # Per-edge baseline length from the current embedding; flipped
+            # signs contribute |proj| at 1e-2 weight, zeros floored so no
+            # target degenerates to a point constraint.
+            scale_floor = 0.05 * jnp.mean(jnp.abs(proj))
+            s_p = jnp.maximum(jnp.abs(proj), scale_floor)
+            target = s_p[:, None] * d                     # (P, 3)
+            L = jnp.zeros((N, N), jnp.float32)
+            L = L.at[i_idx, j_idx].add(-wp).at[j_idx, i_idx].add(-wp)
+            L = L.at[i_idx, i_idx].add(wp).at[j_idx, j_idx].add(wp)
+            L = L + 1e-6 * jnp.eye(N, dtype=jnp.float32)
+            b = jnp.zeros((N, 3), jnp.float32)
+            b = b.at[j_idx].add(wp[:, None] * target)
+            b = b.at[i_idx].add(-wp[:, None] * target)
+            C = _cg(L, b, iters=cg_iters, x0=C)
             C = C - jnp.mean(C, axis=0, keepdims=True)
         return C
 
-    C = np.asarray(_solve(i_idx, j_idx, d, w))
+    C = np.asarray(_solve(i_idx, j_idx, d, w, C_init))
     # Scale gauge: median baseline length = 1 (host-side — jnp.median lowers
     # to a sort, a known compile bomb through the remote-TPU tunnel).
     base = np.linalg.norm(C[np.asarray(j_idx)] - C[np.asarray(i_idx)], axis=-1)
@@ -648,14 +806,21 @@ def global_poses(table, K, num_images, config=None, mesh=None,
     else:
         n_down = 0
     t2 = _time.time()
+    forest = spanning_forest(rel["pairs"], w, num_images) if cfg.tree_init else None
+    R_init = (tree_init_rotations(forest, rel["R"], num_images)
+              if forest is not None else None)
     R_abs = rotation_averaging(
         rel["pairs"], rel["R"], w, num_images,
         power_iters=cfg.power_iters, refine_iters=cfg.refine_iters,
+        init=R_init,
     )
     t3 = _time.time()
+    C_init = (tree_init_centers(forest, R_abs, rel["pairs"], rel["t"],
+                                num_images)
+              if forest is not None else None)
     C = translation_averaging(
         rel["pairs"], R_abs, rel["t"], w, num_images,
-        als_rounds=cfg.als_rounds, cg_iters=cfg.cg_iters,
+        als_rounds=cfg.als_rounds, cg_iters=cfg.cg_iters, init=C_init,
     )
     t4 = _time.time()
     logger.info(

@@ -454,12 +454,12 @@ class TestGlobalInitKnobs:
                 "cheirality_good": np.ones(2, np.float32),
             }
 
-        def fake_rot(pairs, R, w, n, power_iters, refine_iters):
+        def fake_rot(pairs, R, w, n, power_iters, refine_iters, init=None):
             seen["power_iters"] = power_iters
             seen["refine_iters"] = refine_iters
             return np.tile(np.eye(3, dtype=np.float32), (n, 1, 1))
 
-        def fake_trans(pairs, R_abs, t, w, n, als_rounds, cg_iters):
+        def fake_trans(pairs, R_abs, t, w, n, als_rounds, cg_iters, init=None):
             seen["als_rounds"] = als_rounds
             seen["cg_iters"] = cg_iters
             return np.zeros((n, 3), np.float32)

@@ -108,6 +108,96 @@ class TestRotationAveraging:
         assert max(errs) < 6.0, errs
 
 
+class TestTreeInit:
+    """Spanning-tree seeding: required on large-diameter (chain) graphs."""
+
+    def _chain_scene(self, rng, n=240, window=4):
+        """Corridor in miniature. Convergence regimes (probed at 0.3 deg
+        edge noise): with window 4 the identity-start spectral solve holds
+        ~0.8 deg at n=240 but diverges to ~10 deg at n=1000, while the
+        tree-seeded solve stays at the random-walk floor (~1.7 deg);
+        at the real corridor's window 12 both converge even at n=1000."""
+        from scipy.spatial.transform import Rotation
+
+        # Gentle yaw drift along a line — a corridor in miniature.
+        yaw = np.cumsum(rng.normal(scale=0.02, size=n))
+        R_gt = Rotation.from_euler("y", yaw[:, None]).as_matrix().astype(np.float32)
+        C_gt = np.stack([np.arange(n, dtype=np.float32),
+                         0.1 * np.sin(np.arange(n) * 0.2),
+                         np.zeros(n, np.float32)], 1)
+        pairs = np.array([(i, j) for i in range(n)
+                          for j in range(i + 1, min(i + 1 + window, n))],
+                         np.int32)
+        noise = Rotation.from_rotvec(
+            rng.normal(scale=np.deg2rad(0.3), size=(len(pairs), 3))
+        ).as_matrix().astype(np.float32)
+        R_rel = np.stack([noise[p] @ R_gt[j] @ R_gt[i].T
+                          for p, (i, j) in enumerate(pairs)])
+        w = np.ones(len(pairs), np.float32)
+        return R_gt, C_gt, pairs, R_rel, w
+
+    def test_forest_covers_connected_graph(self, rng):
+        from sfm_tpu.reconstruction.global_init import spanning_forest
+
+        _, _, pairs, _, w = self._chain_scene(rng, n=60)
+        child, parent, edge, flip = spanning_forest(pairs, w, 60)
+        assert len(child) == 59                  # one tree, 60 nodes
+        assert set(child) | set(parent) == set(range(60))
+        assert len(set(child)) == 59             # each node initialized once
+        # Every edge index refers to the right endpoint set.
+        for c, p, e, f in zip(child[:10], parent[:10], edge[:10], flip):
+            a, b = pairs[e]
+            assert {a, b} == {c, p}
+
+    def test_chain_rotations_converge_only_with_tree_init(self, rng):
+        from sfm_tpu.reconstruction.global_init import (
+            spanning_forest, tree_init_rotations)
+
+        # n=1000 window=4: diameter ~250 graph-hops — past what the
+        # identity-start spectral solve can propagate in its budget.
+        R_gt, _, pairs, R_rel, w = self._chain_scene(rng, n=1000, window=4)
+        n = len(R_gt)
+        forest = spanning_forest(pairs, w, n)
+        R0 = tree_init_rotations(forest, R_rel, n)
+        R_tree = rotation_averaging(pairs, R_rel, w, n, init=R0)
+        R_zero = rotation_averaging(pairs, R_rel, w, n)
+
+        def med_err(R_est):
+            errs = [rot_angle_deg(R_est[i] @ R_est[0].T, R_gt[i] @ R_gt[0].T)
+                    for i in range(1, n)]
+            return float(np.median(errs))
+
+        # Physics floor: 0.3 deg/edge noise random-walks to ~2 deg over the
+        # ~500-edge tree paths; the averaging must stay at that floor, not
+        # the chain-diameter divergence of the zero start (~10 deg measured).
+        assert med_err(R_tree) < 3.0, med_err(R_tree)
+        # If this ever starts passing, the zero start converges on large
+        # diameters too and the tree init is no longer load-bearing.
+        assert med_err(R_zero) > 2.0 * med_err(R_tree)
+
+    def test_chain_centers_converge_with_tree_init(self, rng):
+        from sfm_tpu.reconstruction.global_init import (
+            spanning_forest, tree_init_centers)
+
+        R_gt, C_gt, pairs, R_rel, w = self._chain_scene(rng)
+        n = len(R_gt)
+        # Exact directions from GT geometry (isolates the translation stage).
+        t_rel = np.stack([
+            -R_gt[j] @ (C_gt[j] - C_gt[i]) for i, j in pairs
+        ]).astype(np.float32)
+        t_rel /= np.linalg.norm(t_rel, axis=1, keepdims=True)
+        forest = spanning_forest(pairs, w, n)
+        C0 = tree_init_centers(forest, R_gt, pairs, t_rel, n)
+        C = translation_averaging(pairs, R_gt, t_rel, w, n, init=C0)
+        # Similarity-align and compare (gauge: scale+rotation+shift free).
+        from sfm_tpu.io.calib import umeyama
+
+        s, Q, T = umeyama(C, C_gt)
+        err = np.linalg.norm((s * C @ Q.T + T) - C_gt, axis=1)
+        extent = np.linalg.norm(C_gt - C_gt.mean(0), axis=1).mean()
+        assert np.median(err) < 0.02 * extent, (np.median(err), extent)
+
+
 class TestTranslationAveraging:
     def test_recovers_centers(self, rng):
         n = 10
