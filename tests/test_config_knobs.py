@@ -457,6 +457,7 @@ class TestGlobalInitKnobs:
         def fake_rot(pairs, R, w, n, power_iters, refine_iters, init=None):
             seen["power_iters"] = power_iters
             seen["refine_iters"] = refine_iters
+            seen["rot_init"] = init
             return np.tile(np.eye(3, dtype=np.float32), (n, 1, 1))
 
         def fake_trans(pairs, R_abs, t, w, n, als_rounds, cg_iters, init=None):
@@ -475,9 +476,15 @@ class TestGlobalInitKnobs:
         cfg = GlobalInitConfig(power_iters=7, refine_iters=3, als_rounds=2,
                                cg_iters=11, cycle_sigma_deg=22.0)
         rvec, tvec, placed = gi.global_poses(None, np.eye(3, dtype=np.float32), 3, cfg)
+        assert seen.pop("rot_init") is not None   # tree_init default: seeded
         assert seen == {"power_iters": 7, "refine_iters": 3, "als_rounds": 2,
                         "cg_iters": 11, "cycle_sigma_deg": 22.0}
         assert placed.sum() == 3
+
+        seen.clear()
+        gi.global_poses(None, np.eye(3, dtype=np.float32), 3,
+                        GlobalInitConfig(tree_init=False))
+        assert seen["rot_init"] is None           # knob disables the seeding
 
     def test_refine_rounds_sets_alternation_count(self):
         """GlobalInitConfig.refine_rounds drives the BA/prune/retriangulate
