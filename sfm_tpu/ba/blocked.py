@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from sfm_tpu.config import BAConfig
+from sfm_tpu.utils.precision import f32_matmuls
 from sfm_tpu.ba.residuals import residuals_and_jacobians, huber_weights, huber_cost
 from sfm_tpu.ba.lm import _intr_reg
 
@@ -77,6 +78,7 @@ def build_blocked_problem(
 
 
 @partial(jax.jit, static_argnames=("config", "optimize_intrinsics"))
+@f32_matmuls
 def run_ba_blocked(
     problem: BlockedBAProblem,
     config: BAConfig = BAConfig(),

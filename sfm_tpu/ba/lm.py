@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from sfm_tpu.config import BAConfig
+from sfm_tpu.utils.precision import f32_matmuls
 from sfm_tpu.ba.problem import BAProblem
 from sfm_tpu.ba.residuals import (
     residuals_and_jacobians,
@@ -111,6 +112,7 @@ def run_ba(
 
 
 @partial(jax.jit, static_argnames=("config", "optimize_intrinsics"))
+@f32_matmuls
 def _run_ba_jit(
     problem: BAProblem,
     config: BAConfig = BAConfig(),

@@ -29,6 +29,7 @@ from sfm_tpu.config import SfMConfig
 from sfm_tpu.geometry.projection import project
 from sfm_tpu.geometry.rotations import rodrigues, rotation_to_rvec
 from sfm_tpu.geometry.triangulation import triangulate_multiview, triangulate_two_view
+from sfm_tpu.utils.precision import f32_matmuls
 from sfm_tpu.estimators.pnp import pnp_ransac, pnp_ransac_batch
 from sfm_tpu.graph.view_selection import SfMGraphSelector
 from sfm_tpu.ba import run_ba
@@ -43,6 +44,7 @@ logger = logging.getLogger(__name__)
 
 @partial(jax.jit, static_argnames=("max_err", "min_parallax_deg", "robust_rounds",
                                    "seed_pairs_on", "n_seed"))
+@f32_matmuls
 def _triangulate_tracks(
     view_img, view_xy, view_valid, rvec, tvec, registered, K, active,
     max_err: float = 4.0,
@@ -177,6 +179,7 @@ def _guided_match(desc_img, valid_img, pool_desc, pool_valid, pool_track, ratio)
 
 
 @jax.jit
+@f32_matmuls
 def _reproj_stats(view_img, view_xy, view_valid, rvec, tvec, registered, K, points, point_valid):
     """Per-observation reprojection errors over the whole reconstruction."""
     C = rvec.shape[0]

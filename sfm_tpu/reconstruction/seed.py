@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from sfm_tpu.geometry.epipolar import essential_from_fundamental, recover_pose
 from sfm_tpu.geometry.triangulation import triangulate_two_view
 from sfm_tpu.geometry.projection import project
+from sfm_tpu.utils.precision import f32_matmuls
 
 _EPS = 1e-12
 
@@ -46,6 +47,7 @@ def _masked_median(x, mask, iters: int = 24):
 
 
 @jax.jit
+@f32_matmuls
 def _score_pairs(Fs, xy1, xy2, valid, K):
     """Pose recovery + parallax/consistency scoring over the pair batch.
 
