@@ -221,14 +221,17 @@ def make_scene_corridor(rng, n_cams=1000, n_pts=30000, K_budget=512, D=128,
     return xy, desc, valid, Rs.astype(np.float32), ts.astype(np.float32)
 
 
-def corridor(n_cams, n_pts, mode="global"):
+def corridor(n_cams, n_pts, mode="global", use_retrieval=False):
     """1000-image-class single-chip end-to-end: sparse corridor scene ->
     flat sweep over all C(N,2) pairs -> reconstruction (``mode`` picks the
     GLOBAL averaging path or the INCREMENTAL engine — the round-4 north-star
-    demands both at 1000 cameras)."""
+    demands both at 1000 cameras). ``use_retrieval`` preselects candidate
+    pairs by descriptor retrieval before the sweep (matching/retrieval.py)
+    and reports recall against the cached exhaustive-sweep acceptance."""
     import pickle
 
-    from sfm_tpu.config import GlobalInitConfig
+    from sfm_tpu.config import GlobalInitConfig, RetrievalConfig
+    from sfm_tpu.matching.retrieval import select_candidate_pairs
 
     rng = np.random.default_rng(0)
     t0 = time.time()
@@ -253,7 +256,8 @@ def corridor(n_cams, n_pts, mode="global"):
     # mid-reconstruction must not lose a completed 16-minute sweep. The cold
     # sweep result (with its recorded wall-clock) is cached on disk per
     # scene+config; reconstruction attempts retry once on JaxRuntimeError.
-    sweep_cache = Path("/tmp/corridor_sweep_%d_%d.pkl" % (n_cams, n_pts))
+    tag = "_retr" if use_retrieval else ""
+    sweep_cache = Path("/tmp/corridor_sweep_%d_%d%s.pkl" % (n_cams, n_pts, tag))
     for rep in ("cold", "warm"):
         if rep == "cold" and sweep_cache.exists():
             with open(sweep_cache, "rb") as f:
@@ -264,11 +268,28 @@ def corridor(n_cams, n_pts, mode="global"):
                                    table.num_pairs / t_sweep))
         else:
             t0 = time.time()
-            table = all_pairs_sweep(xy, desc, valid, cfg)
+            pairs = None
+            if use_retrieval:
+                pairs, rstats = select_candidate_pairs(
+                    desc, valid, n_cams, RetrievalConfig(mode="on"))
+                log("retrieval: kept %d of %d candidates (%.2f%%) in %.1fs" % (
+                    rstats["kept"], rstats["candidates"],
+                    100 * rstats["keep_frac"], rstats["seconds"]))
+            table = all_pairs_sweep(xy, desc, valid, cfg, pairs=pairs)
             t_sweep = time.time() - t0
             if rep == "cold":
                 with open(sweep_cache, "wb") as f:
                     pickle.dump({"table": table, "t_sweep": t_sweep}, f)
+        if use_retrieval:
+            full_cache = Path("/tmp/corridor_sweep_%d_%d.pkl" % (n_cams, n_pts))
+            if full_cache.exists():
+                with open(full_cache, "rb") as f:
+                    full_tab = pickle.load(f)["table"]
+                full_acc = {tuple(full_tab.pairs[p]) for p in full_tab.accepted()}
+                got = {tuple(table.pairs[p]) for p in table.accepted()}
+                log("retrieval recall vs exhaustive: %d/%d accepted pairs "
+                    "(%.2f%%)" % (len(full_acc & got), len(full_acc),
+                                  100 * len(full_acc & got) / max(len(full_acc), 1)))
         acc = table.accepted()
         log("%s sweep: %.1fs for %d pairs (%.0f pairs/s), %d accepted (%.1f%%)" % (
             rep, t_sweep, table.num_pairs, table.num_pairs / t_sweep,
@@ -342,6 +363,7 @@ if __name__ == "__main__":
     elif len(sys.argv) > 3 and sys.argv[3] == "global":
         global_recon(n, p)
     elif len(sys.argv) > 3 and sys.argv[3] == "corridor":
-        corridor(n, p, mode=sys.argv[4] if len(sys.argv) > 4 else "global")
+        corridor(n, p, mode=sys.argv[4] if len(sys.argv) > 4 else "global",
+                 use_retrieval="retrieval" in sys.argv[5:])
     else:
         main(n, p)

@@ -68,6 +68,7 @@ def parse_args(argv=None) -> argparse.Namespace:
     pre.add_argument("--start_idx", type=int, default=0)
     pre.add_argument("--end_idx", type=int, default=999)
     pre.add_argument("--visualize", action="store_true")
+    _add_match_mode(pre)
 
     rec = sub.add_parser("reconstruct", help="incremental reconstruction from saved artifacts")
     _add_common(rec)
@@ -83,8 +84,19 @@ def parse_args(argv=None) -> argparse.Namespace:
     full.add_argument("--min_matches", type=int, default=20)
     full.add_argument("--visualize", action="store_true")
     _add_recon_flags(full)
+    _add_match_mode(full)
 
     return ap.parse_args(argv)
+
+
+def _add_match_mode(p: argparse.ArgumentParser):
+    p.add_argument("--match_mode", default=None,
+                   choices=["off", "auto", "on", "sequential"],
+                   help="candidate-pair preselection before the sweep: "
+                        "'off' = exhaustive C(N,2) (the reference's only "
+                        "mode), 'on'/'auto' = descriptor retrieval, "
+                        "'sequential' = window pairs for ordered captures "
+                        "(window: retrieval.sequential_window in --config)")
 
 
 def _add_recon_flags(p: argparse.ArgumentParser):
@@ -146,6 +158,10 @@ def main(argv=None) -> int:
         if getattr(args, "global_init", False):
             cfg = cfg.replace(
                 global_init=dataclasses.replace(cfg.global_init, enabled=True)
+            )
+        if getattr(args, "match_mode", None):
+            cfg = cfg.replace(
+                retrieval=dataclasses.replace(cfg.retrieval, mode=args.match_mode)
             )
         pipe = SfMPipeline(pargs, cfg)
         if args.command == "preprocess":

@@ -65,6 +65,33 @@ class MatchConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class RetrievalConfig:
+    """Candidate-pair preselection before the full sweep (matching/retrieval.py).
+
+    Beyond-reference capability (the reference always sweeps all C(N,2)
+    pairs, find_matches.py:329-350): score every pair by a cheap top-S
+    descriptor mini-match count and run the full match+verify program only
+    on pairs that clear ``min_score`` or rank in an image's ``top_k``
+    neighbors. The TPU analogue of COLMAP's vocab-tree retrieval mode —
+    at corridor-1000 the candidate list shrinks ~20x at full verified-pair
+    recall (A/B in PROGRESS.md).
+    """
+    mode: str = "auto"                 # "off" | "on" | "auto" (on when
+                                       # num_images >= auto_min_images) |
+                                       # "sequential" (ordered captures:
+                                       # window pairs only, no scoring)
+    sequential_window: int = 10        # j - i <= window for mode="sequential"
+    auto_min_images: int = 150         # exhaustive is fine (and higher-recall
+                                       # by construction) for small scenes
+    subsample: int = 256               # top-S keypoints scored per image
+    min_score: int = 8                 # mini-match count to keep a pair
+    top_k: int = 10                    # per-image neighbor floor (keeps every
+                                       # image connectable regardless of score)
+    ratio_threshold: float = 0.75      # Lowe ratio for the mini-match
+    chunk_size: int = 1024             # pairs per scoring dispatch
+
+
+@dataclasses.dataclass(frozen=True)
 class VerifyConfig:
     """Geometric verification gates (find_matches.py:157-214)."""
     ransac_iters: int = 512            # fixed hypothesis budget (ref: adaptive cv2).
@@ -337,6 +364,7 @@ class ShardingConfig:
 class SfMConfig:
     features: FeatureConfig = dataclasses.field(default_factory=FeatureConfig)
     matching: MatchConfig = dataclasses.field(default_factory=MatchConfig)
+    retrieval: RetrievalConfig = dataclasses.field(default_factory=RetrievalConfig)
     verify: VerifyConfig = dataclasses.field(default_factory=VerifyConfig)
     pnp: PnPConfig = dataclasses.field(default_factory=PnPConfig)
     triangulation: TriangulationConfig = dataclasses.field(default_factory=TriangulationConfig)
@@ -376,6 +404,7 @@ class SfMConfig:
             v = d[f.name]
             sub = {
                 "features": FeatureConfig, "matching": MatchConfig,
+                "retrieval": RetrievalConfig,
                 "verify": VerifyConfig, "pnp": PnPConfig,
                 "triangulation": TriangulationConfig, "ba": BAConfig,
                 "select": SelectConfig, "global_init": GlobalInitConfig,

@@ -11,3 +11,8 @@ pair table, shardable over a device mesh.
 from sfm_tpu.matching.core import match_pair, match_descriptors  # noqa: F401
 from sfm_tpu.matching.verify import verify_pair, match_and_verify  # noqa: F401
 from sfm_tpu.matching.sweep import all_pairs_sweep, PairTable  # noqa: F401
+from sfm_tpu.matching.retrieval import (  # noqa: F401
+    retrieval_enabled,
+    retrieval_scores,
+    select_candidate_pairs,
+)

@@ -129,10 +129,28 @@ class ImageMatcher:
         self, start_idx: int = 0, end_idx: Optional[int] = None, use_mask: bool = True
     ) -> PairTable:
         """Full stage 1: detect + all-pairs sweep + per-pair artifacts
-        (ref process_image_range :329-350)."""
+        (ref process_image_range :329-350). For large image sets the sweep's
+        candidate list is preselected by descriptor retrieval
+        (config.retrieval; the reference always sweeps all C(N,2) pairs)."""
         feats = self.detect_all(start_idx, end_idx, use_mask)
+        from sfm_tpu.matching.retrieval import (
+            retrieval_enabled,
+            select_candidate_pairs,
+        )
+
+        pairs = None
+        n = len(self.image_paths)
+        if retrieval_enabled(self.config.retrieval, n):
+            pairs, rstats = select_candidate_pairs(
+                feats["desc"], feats["valid"], n, self.config.retrieval
+            )
+            logger.info(
+                "retrieval: kept %d of %d candidate pairs (%.1f%%) in %.1fs",
+                rstats["kept"], rstats["candidates"],
+                100.0 * rstats["keep_frac"], rstats["seconds"],
+            )
         self.table = all_pairs_sweep(
-            feats["xy"], feats["desc"], feats["valid"], self.config
+            feats["xy"], feats["desc"], feats["valid"], self.config, pairs=pairs
         )
         self._save_pair_artifacts()
         return self.table

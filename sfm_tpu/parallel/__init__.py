@@ -16,6 +16,10 @@ layout, XLA inserts or we place the collectives.
 
 from sfm_tpu.parallel.mesh import make_mesh, mesh_from_config, shard_batch, replicate  # noqa: F401
 from sfm_tpu.parallel.sweep import sharded_all_pairs_sweep  # noqa: F401
+from sfm_tpu.parallel.retrieval import (  # noqa: F401
+    sharded_retrieval_scores,
+    sharded_select_candidate_pairs,
+)
 from sfm_tpu.parallel.ring import ring_all_pairs_sweep, extract_pair_artifacts  # noqa: F401
 from sfm_tpu.parallel.ba import shard_problem, run_ba_sharded  # noqa: F401
 from sfm_tpu.parallel.distributed import initialize as init_distributed, hybrid_mesh  # noqa: F401

@@ -228,6 +228,24 @@ class TestDistributed:
         np.testing.assert_allclose(np.asarray(sm(x))[()], 28.0)
 
 
+class TestShardedRetrieval:
+    def test_matches_single_device(self, rng, mesh):
+        from sfm_tpu.config import RetrievalConfig
+        from sfm_tpu.matching.retrieval import retrieval_scores
+        from sfm_tpu.matching.sweep import candidate_pairs
+        from sfm_tpu.parallel import sharded_retrieval_scores
+        from tests.test_reconstruction import make_multiview
+
+        scene = make_multiview(rng, n_cams=7, n_pts=150, K_budget=128, D=32)
+        pairs = candidate_pairs(7)
+        rcfg = RetrievalConfig(subsample=64)
+        a = retrieval_scores(scene["desc"], scene["valid"], pairs, rcfg)
+        b = sharded_retrieval_scores(
+            scene["desc"], scene["valid"], pairs, mesh, rcfg, pairs_per_device=2
+        )
+        np.testing.assert_array_equal(a, b)
+
+
 class TestShardedRelativePoses:
     def test_matches_single_device(self, rng, mesh):
         """Mesh-sharded relative-pose GN must equal the single-device path
