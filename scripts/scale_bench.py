@@ -325,6 +325,37 @@ def corridor(n_cams, n_pts, mode="global", use_retrieval=False):
         log("%s TOTAL (sweep+recon): %.1fs" % (rep, t_sweep + t_rec))
 
 
+def global_full(n_cams, n_pts):
+    """Sweep once (cached to disk), then cold+warm global reconstruction.
+
+    Leaner than main()+global_recon for re-measuring the global path: no
+    incremental runs just to produce the pair table.
+    """
+    import pickle
+
+    rng = np.random.default_rng(0)
+    xy, desc, valid = make_scene_cached(rng, n_cams, n_pts)
+    log("scene: %d cams, %d pts" % (n_cams, n_pts))
+    cache = Path("/tmp/scale_table.pkl")
+    if cache.exists():
+        with open(cache, "rb") as f:
+            blob = pickle.load(f)
+        if blob["xy"].shape[0] == n_cams:
+            log("pair table: cached")
+        else:
+            cache.unlink()
+    if not cache.exists():
+        cfg = SfMConfig(matching=MatchConfig(max_matches=1024),
+                        verify=VerifyConfig(ransac_iters=1024))
+        t0 = time.time()
+        table = all_pairs_sweep(xy, desc, valid, cfg)
+        log("sweep: %.1fs for %d pairs, %d accepted" % (
+            time.time() - t0, table.num_pairs, len(table.accepted())))
+        with open(cache, "wb") as f:
+            pickle.dump({"table": table, "xy": xy}, f)
+    global_recon(n_cams, n_pts)
+
+
 def global_recon(n_cams, n_pts):
     """Global-SfM reconstruction at scale: averaging init + a handful of
     global BAs instead of O(N) incremental register->BA rounds. Reuses the
@@ -362,6 +393,8 @@ if __name__ == "__main__":
         ring_sweep(n, p)
     elif len(sys.argv) > 3 and sys.argv[3] == "global":
         global_recon(n, p)
+    elif len(sys.argv) > 3 and sys.argv[3] == "globalfull":
+        global_full(n, p)
     elif len(sys.argv) > 3 and sys.argv[3] == "corridor":
         corridor(n, p, mode=sys.argv[4] if len(sys.argv) > 4 else "global",
                  use_retrieval="retrieval" in sys.argv[5:])
