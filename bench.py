@@ -58,21 +58,31 @@ def init_backend(max_tries=3, timeout_s=300, backoffs=(15, 60)):
     """
     if os.environ.get("SFM_BENCH_FORCE_BACKEND_FAIL"):
         raise RuntimeError("backend_unavailable (forced by test)")
-    from concurrent.futures import ThreadPoolExecutor, TimeoutError as FTimeout
+    import threading
 
     last_err = None
     for attempt in range(max_tries):
-        ex = ThreadPoolExecutor(max_workers=1)
-        try:
-            devs = ex.submit(_probe_devices).result(timeout=timeout_s)
-            print(f"# backend up: {devs}", file=sys.stderr)
-            return devs
-        except FTimeout:
+        # Daemon thread, NOT ThreadPoolExecutor: a pool worker stuck inside a
+        # hung jax.devices() is non-daemon, and its interpreter-exit join
+        # would hang the whole process even after a later attempt succeeds.
+        box = {}
+
+        def _attempt(out=box):
+            try:
+                out["devs"] = _probe_devices()
+            except Exception as e:  # noqa: BLE001 — reported to the retry loop
+                out["err"] = e
+
+        th = threading.Thread(target=_attempt, daemon=True)
+        th.start()
+        th.join(timeout=timeout_s)
+        if "devs" in box:
+            print(f"# backend up: {box['devs']}", file=sys.stderr)
+            return box["devs"]
+        if th.is_alive():
             last_err = TimeoutError(f"jax.devices() hung >{timeout_s}s")
-        except Exception as e:  # noqa: BLE001 — any init failure retries
-            last_err = e
-        finally:
-            ex.shutdown(wait=False)
+        else:
+            last_err = box.get("err", RuntimeError("backend probe died"))
         if attempt < max_tries - 1:
             wait = backoffs[min(attempt, len(backoffs) - 1)]
             print(f"# backend init failed ({last_err}); retry in {wait}s",

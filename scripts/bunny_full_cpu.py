@@ -72,16 +72,11 @@ def main(ct=0.006, prune=3.0, seed=0, upsample=False):
             s["max_reprojection_error"], s["mean_track_length"]))
     calib = d / "calib"
     if calib.is_dir():
-        from sfm_tpu.io.calib import evaluate_poses, load_gt_poses
+        from sfm_tpu.io.calib import evaluate_result_against_gt
 
-        gt = load_gt_poses(calib)
-        ids = res.image_ids
-        have = np.array([int(i) in gt for i in ids])
-        if have.sum() >= 3:
-            R_gt = np.stack([gt[int(i)][1] for i in ids[have]])
-            t_gt = np.stack([gt[int(i)][2] for i in ids[have]])
-            ev = evaluate_poses(res.rotations[have], res.translations[have],
-                                R_gt, t_gt)
+        # Full-range run: engine ids == calib stems, no name map needed.
+        ev = evaluate_result_against_gt(calib, res)
+        if ev is not None:
             log("GT: rot med %.3f deg / max %.3f, ATE %.4f (%.2f%% scene)" % (
                 ev["rot_err_deg_median"], ev["rot_err_deg_max"],
                 ev["ate"], 100 * ev["ate_rel"]))

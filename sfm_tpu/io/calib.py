@@ -65,6 +65,38 @@ def load_gt_poses(calib_dir):
     return poses
 
 
+def evaluate_result_against_gt(calib_dir, result, image_names=None):
+    """GT pose accuracy for a ReconstructionResult, mapping cameras by name.
+
+    Engine image ids index the matcher's image list; GT files are keyed by
+    filename stem. ``image_names`` (engine index -> image path or stem) makes
+    that mapping explicit — required whenever the image range does not start
+    at 0 or is non-contiguous (e.g. ``--start_idx 10``), where the bare
+    engine index would silently compare camera 0 against calib 0000.
+    Without it the engine index is used directly (valid only for 0-based
+    contiguous ranges). Returns the evaluate_poses() dict or None when
+    fewer than 3 registered cameras have GT.
+    """
+    gt = load_gt_poses(calib_dir)
+    ids = np.asarray(result.image_ids)
+    if image_names is not None:
+        def _stem(idx):
+            try:
+                return int(Path(image_names[int(idx)]).stem)
+            except (ValueError, IndexError):
+                return None
+        gt_ids = [_stem(i) for i in ids]
+    else:
+        gt_ids = [int(i) for i in ids]
+    have = np.array([g is not None and g in gt for g in gt_ids], bool)
+    if have.sum() < 3:
+        return None
+    R_gt = np.stack([gt[g][1] for g, h in zip(gt_ids, have) if h])
+    t_gt = np.stack([gt[g][2] for g, h in zip(gt_ids, have) if h])
+    return evaluate_poses(np.asarray(result.rotations)[have],
+                          np.asarray(result.translations)[have], R_gt, t_gt)
+
+
 def umeyama(src: np.ndarray, dst: np.ndarray):
     """Similarity (s, Q, T) minimizing ||dst - (s Q src + T)||^2 (Umeyama '91)."""
     src = np.asarray(src, np.float64)

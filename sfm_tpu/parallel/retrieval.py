@@ -36,10 +36,11 @@ def sharded_retrieval_scores(
     axis = mesh.axis_names[0]
     chunk = pairs_per_device * mesh.devices.size
 
-    desc = jnp.asarray(desc)
+    # Slice to the top-S subsample BEFORE jnp.asarray — host-resident
+    # descriptor stacks should ship only the bytes the scorer reads.
     S = min(config.subsample, desc.shape[1])
-    desc_s = desc[:, :S].astype(jnp.float32)
-    valid_s = jnp.asarray(valid)[:, :S]
+    desc_s = jnp.asarray(desc[:, :S]).astype(jnp.float32)
+    valid_s = jnp.asarray(valid[:, :S])
 
     pairs = np.asarray(pairs, np.int32)
     Pn = pairs.shape[0]

@@ -172,12 +172,14 @@ class SfMPipeline:
                 # engine would pull down in one giant transfer.
                 desc = getattr(self, "_desc_host", None)
                 feat_valid = self.matcher.features["valid"]
+                self._image_paths = [str(p) for p in self.matcher.image_paths]
             else:
                 blob = pickle.loads((self.output_dir / "pair_table.pkl").read_bytes())
                 table = blob["table"]
                 xy = blob["xy"]
                 desc = blob.get("desc")
                 feat_valid = blob.get("valid")
+                self._image_paths = blob.get("image_paths")
             with stage("reconstruct", self.metrics), self._maybe_trace():
                 sfm = StructureFromMotion(table, xy, self.config, metrics=self.metrics,
                                           desc=desc, feat_valid=feat_valid)
@@ -228,19 +230,20 @@ class SfMPipeline:
         if self.result is None or not calib.is_dir():
             return
         try:
-            import numpy as np
+            from sfm_tpu.io.calib import evaluate_result_against_gt
 
-            from sfm_tpu.io.calib import evaluate_poses, load_gt_poses
-
-            gt = load_gt_poses(calib)
-            ids = self.result.image_ids
-            have = np.array([int(i) in gt for i in ids])
-            if have.sum() < 3:
+            # image_paths maps engine camera indices to calib file stems —
+            # required when --start_idx > 0, where the bare engine index
+            # would silently compare camera 0 against calib 0000.
+            names = getattr(self, "_image_paths", None)
+            if names is None and self.args.start_idx != 0:
+                logger.info("skipping GT eval: no image-path map and "
+                            "start_idx=%d (ids would misalign)",
+                            self.args.start_idx)
                 return
-            R_gt = np.stack([gt[int(i)][1] for i in ids[have]])
-            t_gt = np.stack([gt[int(i)][2] for i in ids[have]])
-            ev = evaluate_poses(self.result.rotations[have],
-                                self.result.translations[have], R_gt, t_gt)
+            ev = evaluate_result_against_gt(calib, self.result, image_names=names)
+            if ev is None:
+                return
             self.result.stats.update({f"gt_{k}": v for k, v in ev.items()})
             for k in ("rot_err_deg_median", "ate", "ate_rel"):
                 self.metrics.log(f"reconstruction/gt_{k}", ev[k])

@@ -67,3 +67,28 @@ def test_feats_cache_key_tracks_config_and_source(tmp_path, monkeypatch):
     f.write_text(f.read_text() + "\n# perturbed\n")
     d = bench._feats_cache_path(SfMConfig())
     assert d != a
+
+
+def test_timeout_then_success_leaves_no_nondaemon_thread(monkeypatch):
+    """A hung first probe must not leave a non-daemon worker that would block
+    interpreter exit after a successful retry (round-4 review finding: the
+    ThreadPoolExecutor variant hung the harness on exactly this sequence)."""
+    import threading
+
+    release = threading.Event()
+    calls = {"n": 0}
+
+    def probe():
+        calls["n"] += 1
+        if calls["n"] == 1:
+            release.wait(30)  # simulated jax.devices() hang
+            return None
+        return ["fake-device"]
+
+    monkeypatch.setattr(bench, "_probe_devices", probe)
+    before = set(threading.enumerate())
+    devs = bench.init_backend(max_tries=2, timeout_s=1, backoffs=(0,))
+    assert devs == ["fake-device"]
+    leaked = [t for t in threading.enumerate() if t not in before and t.is_alive()]
+    assert all(t.daemon for t in leaked), leaked
+    release.set()

@@ -253,6 +253,30 @@ class TestPoseEvaluation:
             assert np.allclose(R @ R.T, np.eye(3), atol=1e-8)
             assert np.linalg.det(R) > 0.99
 
+    def test_evaluate_result_against_gt_offset_range(self, bunny_dir, bunny_calib):
+        """Engine camera ids index the subset; image_names maps them to calib
+        stems. Regression for the --start_idx>0 misalignment (round-4 review):
+        without the name map, engine camera 0 was scored against calib 0000."""
+        from types import SimpleNamespace
+
+        from sfm_tpu.io.calib import evaluate_result_against_gt
+
+        stems = sorted(bunny_calib.keys())[10:20]  # run over images 0010..0019
+        R = np.stack([bunny_calib[s][2] for s in stems])
+        t = np.stack([bunny_calib[s][3] for s in stems])
+        res = SimpleNamespace(image_ids=np.arange(len(stems)),
+                              rotations=R, translations=t)
+        names = ["bunny_data/images/%04d.pgm" % s for s in stems]
+        ev = evaluate_result_against_gt(bunny_dir / "calib", res,
+                                        image_names=names)
+        assert ev is not None and ev["n_eval"] == len(stems)
+        assert ev["rot_err_deg_median"] < 1e-6
+        assert ev["ate_rel"] < 1e-9
+        # The bare engine-index fallback compares against the WRONG GT poses
+        # here — it must not report the (spuriously clean) aligned error.
+        ev_bad = evaluate_result_against_gt(bunny_dir / "calib", res)
+        assert ev_bad["rot_err_deg_median"] > 1.0
+
 
 def _unit_rows(v):
     return v / np.linalg.norm(v, axis=-1, keepdims=True)
