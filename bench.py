@@ -129,11 +129,12 @@ def get_features(cfg):
     return xy_h, desc_h, valid_h
 
 
-def bench_detect():
+def bench_detect(kind: str = "sift"):
     """Feature-frontend throughput on the 36 bunny images (imgs/s).
 
     Times the production path (u8 wire + batched vmapped detection) warm:
     reference CPU FAST+ORB measured 138 imgs/s (BASELINE_MEASURED.json).
+    kind="orb" times the same-feature-class binary path (features/binary.py).
     Returns (imgs_per_sec_device_resident, imgs_per_sec_with_upload).
     """
     import jax
@@ -148,7 +149,7 @@ def bench_detect():
     if not imgs:
         return float("nan"), float("nan")
     h, w, _ = probe(imgs[0])
-    cfg = FeatureConfig()
+    cfg = FeatureConfig(kind=kind)
     gray = load_gray_u8_batch(imgs, h, w)
     mk = load_mask_batch(masks, h, w)
     n = len(imgs)
@@ -340,6 +341,7 @@ def main():
     accepted = int(np.sum(np.concatenate([np.asarray(o["accept"]) for o in outs])[:P]))
 
     det_dev, det_up = bench_detect()
+    orb_dev, orb_up = bench_detect(kind="orb")
     ba_ips, ba_rms = bench_ba()
     # The scalable (PCG) path at the regime large scenes actually use —
     # driver-tracked so regressions there are visible (round-2 verdict #5).
@@ -366,6 +368,8 @@ def main():
                     "baseline_pairs_per_sec": base if base == base else None,
                     "detect_imgs_per_sec": round(det_dev, 1),
                     "detect_imgs_per_sec_with_upload": round(det_up, 1),
+                    "detect_orb_imgs_per_sec": round(orb_dev, 1),
+                    "detect_orb_imgs_per_sec_with_upload": round(orb_up, 1),
                     "detect_baseline_imgs_per_sec": 138.0,
                     "ba_lm_iters_per_sec": round(ba_ips, 2),
                     "ba_bench_rms_px": round(ba_rms, 3),

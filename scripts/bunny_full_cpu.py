@@ -28,7 +28,7 @@ def log(m):
     print("[%7.1fs] %s" % (time.time() - T0, m), flush=True)
 
 
-def main(ct=0.006, prune=3.0, seed=0, upsample=False):
+def main(ct=0.006, prune=3.0, seed=0, upsample=False, kind="sift"):
     d = Path("/root/reference/bunny_data")
     imgs = sorted((d / "images").glob("*.ppm"))
     masks = sorted((d / "silhouettes").glob("*.pgm"))
@@ -38,7 +38,8 @@ def main(ct=0.006, prune=3.0, seed=0, upsample=False):
     log("loaded %d images (native)" % len(imgs))
 
     cfg = SfMConfig(
-        features=FeatureConfig(contrast_threshold=ct, upsample_first_octave=upsample),
+        features=FeatureConfig(contrast_threshold=ct, upsample_first_octave=upsample,
+                               kind=kind),
         ba=BAConfig(prune_multiplier=prune),
         seed=seed,
     )
@@ -65,9 +66,9 @@ def main(ct=0.006, prune=3.0, seed=0, upsample=False):
     sfm = StructureFromMotion(table, xy, cfg)
     res = sfm.run_reconstruction()
     s = res.stats
-    log("RESULT ct=%s prune=%s seed=%d up=%s: cams=%d pts=%d obs=%d err=%.3f "
-        "maxerr=%.1f tracklen=%.2f" % (
-            ct, prune, seed, upsample, s["num_cameras"], s["num_points"],
+    log("RESULT ct=%s prune=%s seed=%d up=%s kind=%s: cams=%d pts=%d obs=%d "
+        "err=%.3f maxerr=%.1f tracklen=%.2f" % (
+            ct, prune, seed, upsample, kind, s["num_cameras"], s["num_points"],
             s["num_observations"], s["mean_reprojection_error"],
             s["max_reprojection_error"], s["mean_track_length"]))
     calib = d / "calib"
@@ -86,5 +87,6 @@ def main(ct=0.006, prune=3.0, seed=0, upsample=False):
 if __name__ == "__main__":
     ct = float(sys.argv[1]) if len(sys.argv) > 1 else 0.006
     prune = float(sys.argv[2]) if len(sys.argv) > 2 else 3.0
-    upsample = len(sys.argv) > 3 and sys.argv[3] == "up"
-    main(ct, prune, upsample=upsample)
+    upsample = "up" in sys.argv[3:]
+    kind = "orb" if "orb" in sys.argv[3:] else "sift"
+    main(ct, prune, upsample=upsample, kind=kind)

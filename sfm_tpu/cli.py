@@ -90,6 +90,11 @@ def parse_args(argv=None) -> argparse.Namespace:
 
 
 def _add_match_mode(p: argparse.ArgumentParser):
+    p.add_argument("--feature_kind", default=None, choices=["sift", "orb"],
+                   help="frontend class: 'sift' (DoG + 128-D float, quality "
+                        "default) or 'orb' (FAST + 256-bit steered binary — "
+                        "the reference's feature class, ~3-4x detection "
+                        "throughput; see features/binary.py)")
     p.add_argument("--match_mode", default=None,
                    choices=["off", "auto", "on", "sequential"],
                    help="candidate-pair preselection before the sweep: "
@@ -162,6 +167,10 @@ def main(argv=None) -> int:
         if getattr(args, "match_mode", None):
             cfg = cfg.replace(
                 retrieval=dataclasses.replace(cfg.retrieval, mode=args.match_mode)
+            )
+        if getattr(args, "feature_kind", None):
+            cfg = cfg.replace(
+                features=dataclasses.replace(cfg.features, kind=args.feature_kind)
             )
         pipe = SfMPipeline(pargs, cfg)
         if args.command == "preprocess":

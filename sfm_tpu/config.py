@@ -28,6 +28,15 @@ class FeatureConfig:
     SIFT family) because float descriptors map matching onto the MXU as a
     single matmul, where 256-bit binary ORB would need popcount gather loops.
     """
+    kind: str = "sift"                 # "sift": DoG + 128-D float (quality
+                                       # default); "orb": FAST-9/16 + 256-bit
+                                       # steered binary — the reference's own
+                                       # feature class (find_matches.py:96-137),
+                                       # for detection-throughput parity. Both
+                                       # ride the same MXU matmul matcher
+                                       # (features/binary.py docstring).
+    fast_threshold: float = 20.0       # FAST ring contrast gate, u8 scale
+                                       # (kind="orb"; ref find_matches.py:100)
     max_keypoints: int = 2048          # fixed per-image budget (padded + masked)
     num_octaves: int = 4
     scales_per_octave: int = 3
@@ -443,3 +452,37 @@ class SfMConfig:
         if not s.lstrip().startswith("{"):
             s = Path(s).read_text()
         return cls.from_dict(json.loads(s))
+
+
+def effective_match_config(config: "SfMConfig") -> MatchConfig:
+    """MatchConfig with the Lowe ratio mapped into the matcher's metric.
+
+    The ratio test is defined on NATIVE descriptor distances — L2 for float
+    descriptors, Hamming for binary (reference find_matches.py:150-153:
+    ``m.distance < 0.75 * n.distance`` under NORM_HAMMING). The matcher
+    compares SQUARED L2 (core.py:83: ``d1 < r^2 * d2``): for unit float
+    descriptors that is exactly the L2 ratio test, but for ±1-encoded binary
+    descriptors squared-L2 is LINEAR in Hamming (features/binary.py), so the
+    configured ratio r must enter the squared comparison as sqrt(r) to test
+    ``hamming1 < r * hamming2``. Every consumer that derives per-pair match
+    parameters from an SfMConfig must go through this helper.
+    """
+    if config.features.kind == "orb":
+        return dataclasses.replace(
+            config.matching,
+            ratio_threshold=float(config.matching.ratio_threshold) ** 0.5,
+        )
+    return config.matching
+
+
+def effective_retrieval_config(config: "SfMConfig") -> RetrievalConfig:
+    """RetrievalConfig with the mini-match Lowe ratio mapped into the
+    scorer's squared-L2 metric — same mapping as ``effective_match_config``
+    (the retrieval scorer reuses the matcher's ``d1 < r^2 * d2`` comparison,
+    retrieval.py:59)."""
+    if config.features.kind == "orb":
+        return dataclasses.replace(
+            config.retrieval,
+            ratio_threshold=float(config.retrieval.ratio_threshold) ** 0.5,
+        )
+    return config.retrieval

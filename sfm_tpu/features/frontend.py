@@ -82,6 +82,12 @@ def _detect_impl(image, mask, config: FeatureConfig, has_mask: bool) -> Features
     image = _normalize_image(image)
     if has_mask and mask.dtype == jnp.uint8:   # bit-packed on the wire
         mask = _unpack_mask(mask, image.shape[1])
+    if config.kind == "orb":
+        # FAST+ORB-class binary path (the reference's feature class) — same
+        # Features contract, desc is (K, 256) ±1/16 f16 (features/binary.py).
+        from sfm_tpu.features.binary import detect_orb
+
+        return detect_orb(image, mask, config, has_mask)
     S = config.scales_per_octave
     gaussians, dogs = build_pyramid(
         image,

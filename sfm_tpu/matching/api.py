@@ -141,8 +141,11 @@ class ImageMatcher:
         pairs = None
         n = len(self.image_paths)
         if retrieval_enabled(self.config.retrieval, n):
+            from sfm_tpu.config import effective_retrieval_config
+
             pairs, rstats = select_candidate_pairs(
-                feats["desc"], feats["valid"], n, self.config.retrieval
+                feats["desc"], feats["valid"], n,
+                effective_retrieval_config(self.config),
             )
             logger.info(
                 "retrieval: kept %d of %d candidate pairs (%.1f%%) in %.1fs",

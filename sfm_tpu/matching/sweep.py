@@ -122,7 +122,9 @@ def rescue_disconnected(table: PairTable, num_images: int,
 
 def _sweep_chunk_fn(config: SfMConfig):
     """Build the jitted chunk program: (keys, pair_idx chunk, stacked feats) -> dicts."""
-    mc, vc = config.matching, config.verify
+    from sfm_tpu.config import effective_match_config
+
+    mc, vc = effective_match_config(config), config.verify
 
     def one_pair(key, ij, xy, desc, valid):
         i, j = ij[0], ij[1]

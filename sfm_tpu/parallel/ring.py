@@ -41,7 +41,9 @@ _SUMMARY_KEYS = ("accept", "num_matches", "num_inliers", "inlier_ratio",
 
 
 def _pair_kwargs(config: SfMConfig) -> dict:
-    mc, vc = config.matching, config.verify
+    from sfm_tpu.config import effective_match_config
+
+    mc, vc = effective_match_config(config), config.verify
     return dict(
         ratio_threshold=mc.ratio_threshold,
         max_matches=mc.max_matches,

@@ -134,6 +134,18 @@ class TestPipeline:
         with pytest.raises(SystemExit):
             parse_args(["bogus"])
 
+    def test_cli_feature_kind_flag(self):
+        from sfm_tpu.cli import parse_args
+
+        a = parse_args(["preprocess", "--data_dir", "/x",
+                        "--feature_kind", "orb"])
+        assert a.feature_kind == "orb"
+        a = parse_args(["pipeline", "--data_dir", "/x"])
+        assert a.feature_kind is None  # default: config decides (sift)
+        with pytest.raises(SystemExit):
+            parse_args(["preprocess", "--data_dir", "/x",
+                        "--feature_kind", "brisk"])
+
     def test_cli_export_flags_are_real_booleans(self):
         """Round-3 verdict weak #2: the flags were store_true with
         default=True — impossible to turn off. Both polarities must parse."""
