@@ -217,6 +217,81 @@ class TestMatcherContract:
             assert bool(np.asarray(m["valid"])[0]) is expect, h2
 
 
+def _binarize_scene(scene):
+    """Sign-binarize a make_multiview scene's float descriptors into the ORB
+    wire encoding (±1/sqrt(D) unit vectors): correlated floats stay
+    correlated bit patterns, invalid rows stay zero."""
+    d = scene["desc"]
+    D = d.shape[-1]
+    b = np.where(d >= 0, 1.0, -1.0).astype(np.float32) / np.sqrt(D)
+    b[~scene["valid"]] = 0.0
+    out = dict(scene)
+    out["desc"] = b
+    return out
+
+
+class TestSweepIntegration:
+    """The sweep must consume the kind-aware EFFECTIVE match config —
+    a sweep built from an orb SfMConfig behaves exactly like one built from
+    a sift config whose ratio was hand-mapped to sqrt(r), and differently
+    from one that forgot the mapping (sweep.py:_sweep_chunk_fn)."""
+
+    def test_sweep_applies_ratio_mapping(self, rng):
+        from tests.test_reconstruction import make_multiview
+        from sfm_tpu.config import VerifyConfig
+        from sfm_tpu.matching import all_pairs_sweep
+
+        scene = _binarize_scene(
+            make_multiview(rng, n_cams=6, n_pts=200, K_budget=128, D=64)
+        )
+        base = dict(matching=MatchConfig(ratio_threshold=0.75, max_matches=128),
+                    verify=VerifyConfig(ransac_iters=256))
+        cfg_orb = SfMConfig(features=FeatureConfig(kind="orb"), **base)
+        cfg_manual = SfMConfig(
+            matching=dataclasses.replace(base["matching"],
+                                         ratio_threshold=0.75 ** 0.5),
+            verify=base["verify"],
+        )
+        cfg_unmapped = SfMConfig(**base)
+        args = (scene["xy"], scene["desc"], scene["valid"])
+        t_orb = all_pairs_sweep(*args, cfg_orb, chunk_size=8)
+        t_manual = all_pairs_sweep(*args, cfg_manual, chunk_size=8)
+        t_raw = all_pairs_sweep(*args, cfg_unmapped, chunk_size=8)
+        np.testing.assert_array_equal(t_orb.accept, t_manual.accept)
+        np.testing.assert_array_equal(t_orb.num_matches, t_manual.num_matches)
+        # The unmapped config tests sqL2_1 < 0.75^2 * sqL2_2 — i.e. Hamming
+        # ratio 0.5625, strictly stricter: fewer matches overall.
+        assert t_raw.num_matches.sum() < t_orb.num_matches.sum()
+
+    def test_ring_and_sharded_sweeps_agree_on_binary(self, rng):
+        import jax
+
+        from tests.test_reconstruction import make_multiview
+        from sfm_tpu.config import VerifyConfig
+        from sfm_tpu.matching import all_pairs_sweep
+        from sfm_tpu.parallel import make_mesh, sharded_all_pairs_sweep
+        from sfm_tpu.parallel.ring import ring_all_pairs_sweep
+
+        assert len(jax.devices()) >= 8
+        mesh = make_mesh(8)
+        scene = _binarize_scene(
+            make_multiview(rng, n_cams=8, n_pts=200, K_budget=128, D=64)
+        )
+        cfg = SfMConfig(
+            features=FeatureConfig(kind="orb"),
+            matching=MatchConfig(ratio_threshold=0.75, max_matches=128),
+            verify=VerifyConfig(ransac_iters=256),
+        )
+        args = (scene["xy"], scene["desc"], scene["valid"])
+        flat = all_pairs_sweep(*args, cfg, chunk_size=8)
+        ring = ring_all_pairs_sweep(*args, mesh, cfg)
+        shard = sharded_all_pairs_sweep(*args, mesh, cfg, pairs_per_device=2)
+        np.testing.assert_array_equal(flat.accept, ring.accept)
+        np.testing.assert_array_equal(flat.num_matches, ring.num_matches)
+        np.testing.assert_array_equal(flat.accept, shard.accept)
+        np.testing.assert_array_equal(flat.num_matches, shard.num_matches)
+
+
 class TestKnobs:
     def test_fast_threshold_consumed(self):
         img = _texture()
