@@ -28,6 +28,16 @@ from sfm_tpu.ba.lm import _intr_reg
 
 _EPS = 1e-10
 
+# Camera-side reductions ride a one-hot MXU matmul (measured ~2.3x faster
+# than scatter segment_sum at bench scale — schur.py:23), but the one-hot
+# operand is O(obs * cams) f32 HBM: at 4000 cams x 1.33M obs slots that is
+# 21 GB and the program cannot allocate (v5e HBM is 16 GB). Past this
+# element budget the reduction falls back to segment_sum: slower per call,
+# O(obs) memory, and the only way the solve fits at all.
+_ONEHOT_BUDGET_ELEMS = 1_500_000_000  # 6 GB f32 (16 GB HBM, rest of the
+                                      # solve included; 2000-cam corridor =
+                                      # 1.33e9 elems stays on the fast path)
+
 
 class BlockedBAProblem(NamedTuple):
     """BA problem with (P, V)-blocked observations."""
@@ -102,15 +112,23 @@ def run_ba_blocked(
     flat_cam = problem.obs_cam.reshape(-1)
     flat_point = jnp.repeat(jnp.arange(P, dtype=jnp.int32), V)
     flat_xy = problem.obs_xy.reshape(-1, 2)
-    onehot_cam = jax.nn.one_hot(flat_cam, C, dtype=jnp.float32)  # (P*V, C)
+    if P * V * C <= _ONEHOT_BUDGET_ELEMS:
+        onehot_cam = jax.nn.one_hot(flat_cam, C, dtype=jnp.float32)  # (P*V, C)
 
-    def cam_reduce(values_pv):
-        """(P, V, k) -> (C, k) via MXU matmul."""
-        k = values_pv.shape[-1]
-        return jnp.einsum(
-            "oc,ok->ck", onehot_cam, values_pv.reshape(-1, k),
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        def cam_reduce(values_pv):
+            """(P, V, k) -> (C, k) via MXU matmul."""
+            k = values_pv.shape[-1]
+            return jnp.einsum(
+                "oc,ok->ck", onehot_cam, values_pv.reshape(-1, k),
+                precision=jax.lax.Precision.HIGHEST,
+            )
+    else:
+        def cam_reduce(values_pv):
+            """(P, V, k) -> (C, k) via scatter (O(obs) memory fallback)."""
+            k = values_pv.shape[-1]
+            return jax.ops.segment_sum(
+                values_pv.reshape(-1, k), flat_cam, num_segments=C
+            )
 
     def linearize(rvec, tvec, intr, points):
         r, J_c, J_k, J_p = residuals_and_jacobians(

@@ -94,11 +94,21 @@ def _seg_sum_pt(values, seg_ids, num_segments):
     return jax.ops.segment_sum(values, seg_ids, num_segments=num_segments)
 
 
-def _cam_reduce(onehot_cam, values):
-    """Camera-side reduction as an MXU matmul: (O, C)^T @ (O, k) -> (C, k)."""
-    return jnp.einsum(
-        "oc,ok->ck", onehot_cam, values, precision=jax.lax.Precision.HIGHEST
-    )
+# Same budget rationale as blocked._ONEHOT_BUDGET_ELEMS: the dense (O, C)
+# one-hot wins ~2.3x over scatter (module docstring) but its HBM footprint is
+# O(obs * cams) — past this it cannot allocate; linearize_system then stores
+# onehot_cam=None and every camera reduction takes the segment_sum fallback.
+_ONEHOT_BUDGET_ELEMS = 1_500_000_000
+
+
+def _cam_reduce(onehot_cam, values, obs_cam=None, num_cameras=None):
+    """Camera-side reduction: MXU matmul (O, C)^T @ (O, k) -> (C, k) when the
+    one-hot fits, else segment_sum over ``obs_cam`` (O(obs) memory)."""
+    if onehot_cam is not None:
+        return jnp.einsum(
+            "oc,ok->ck", onehot_cam, values, precision=jax.lax.Precision.HIGHEST
+        )
+    return jax.ops.segment_sum(values, obs_cam, num_segments=num_cameras)
 
 
 def linearize_system(
@@ -122,18 +132,24 @@ def linearize_system(
     Jp = Jp * (sw * pv_o)[..., None]
     rw = r * sw
 
-    onehot_cam = jax.nn.one_hot(obs_cam, num_cameras, dtype=Jc.dtype)
+    O = Jc.shape[0]
+    onehot_cam = (
+        jax.nn.one_hot(obs_cam, num_cameras, dtype=Jc.dtype)
+        if O * num_cameras <= _ONEHOT_BUDGET_ELEMS else None
+    )
 
     B = Jc.shape[-1]
     V = _seg_sum_pt(jnp.einsum("oci,ocj->oij", Jp, Jp), obs_point, num_points)
     U = _cam_reduce(
-        onehot_cam, jnp.einsum("oci,ocj->oij", Jc, Jc).reshape(-1, B * B)
+        onehot_cam, jnp.einsum("oci,ocj->oij", Jc, Jc).reshape(-1, B * B),
+        obs_cam, num_cameras,
     ).reshape(num_cameras, B, B)
     if U_extra is not None:
         U = U + U_extra
     Uk = jnp.einsum("oci,ocj->ij", Jk, Jk) + Hreg_k
 
-    g_c = _cam_reduce(onehot_cam, jnp.einsum("oci,oc->oi", Jc, rw))
+    g_c = _cam_reduce(onehot_cam, jnp.einsum("oci,oc->oi", Jc, rw),
+                      obs_cam, num_cameras)
     if g_c_extra is not None:
         g_c = g_c + g_c_extra
     g_k = jnp.einsum("oci,oc->i", Jk, rw)
@@ -182,7 +198,8 @@ def damp_operator(lin: Linearization, lam):
     h_p = jnp.einsum("pij,pj->pi", Vinv, lin.g_p)          # (P, 3)
     y_o = jnp.einsum("oci,oi->oc", lin.Jp, h_p[lin.obs_point])  # (O, 2)
     rhs_c = -lin.g_c + _cam_reduce(
-        lin.onehot_cam, jnp.einsum("oci,oc->oi", lin.Jc, y_o)
+        lin.onehot_cam, jnp.einsum("oci,oc->oi", lin.Jc, y_o),
+        lin.obs_cam, C,
     )
     rhs_k = -lin.g_k + jnp.einsum("oci,oc->i", lin.Jk, y_o)
 
@@ -223,7 +240,8 @@ def schur_matvec(op: SchurOperator, xc, xk):
     z = jnp.einsum("oci,oi->oc", op.Jp, v_p[op.obs_point])  # (O, 2)
 
     d = a - z
-    Sx_c = _cam_reduce(op.onehot_cam, jnp.einsum("oci,oc->oi", op.Jc, d))
+    Sx_c = _cam_reduce(op.onehot_cam, jnp.einsum("oci,oc->oi", op.Jc, d),
+                       op.obs_cam, op.lam_diag_c.shape[0])
     Sx_k = jnp.einsum("oci,oc->i", op.Jk, d)
 
     Sx_c = Sx_c + op.lam_diag_c * xc
@@ -336,6 +354,11 @@ def dense_schur_direct(op: SchurOperator, lin: Linearization,
     """
     C, B = rhs_c.shape
     dt = rhs_c.dtype
+    # This exact path is only selected for small C (lm.py), where a dense
+    # one-hot always fits — rebuild it locally if the operator carries the
+    # large-scene None sentinel.
+    onehot_cam = (op.onehot_cam if op.onehot_cam is not None
+                  else jax.nn.one_hot(op.obs_cam, C, dtype=dt))
 
     # Per-obs camera-point coupling blocks W_o = Jc_o^T Jp_o and their
     # Vinv-weighted form A_o = W_o Vinv_{p(o)} (zero rows for dead slots).
@@ -370,11 +393,11 @@ def dense_schur_direct(op: SchurOperator, lin: Linearization,
     )                                                          # (P, 4, 3)
     AkT = jnp.einsum("pij,pkj->pik", op.Vinv, Wk)              # (P, 3, 4) = Vinv Wk^T
     cross = _cam_reduce(
-        op.onehot_cam,
+        onehot_cam,
         jnp.einsum("oci,ocj->oij", op.Jc, op.Jk).reshape(-1, B * 4),
     ).reshape(C, B, 4)
     coup_ck = _cam_reduce(
-        op.onehot_cam,
+        onehot_cam,
         jnp.einsum("oik,okj->oij", M, AkT[op.obs_point]).reshape(-1, B * 4),
     ).reshape(C, B, 4)
     S_ck = (cross - coup_ck).reshape(C * B, 4)

@@ -28,7 +28,8 @@ class FeatureConfig:
     SIFT family) because float descriptors map matching onto the MXU as a
     single matmul, where 256-bit binary ORB would need popcount gather loops.
     """
-    kind: str = "sift"                 # "sift": DoG + 128-D float (quality
+    kind: str = "sift"                 # validated in __post_init__.
+                                       # "sift": DoG + 128-D float (quality
                                        # default); "orb": FAST-9/16 + 256-bit
                                        # steered binary — the reference's own
                                        # feature class (find_matches.py:96-137),
@@ -59,6 +60,15 @@ class FeatureConfig:
                                        # dispatch + better VPU occupancy)
                                        # while staying under the working-set
                                        # ceiling; compile ~30-70 s once.
+
+    def __post_init__(self):
+        # frontend.py dispatches on exact string equality and every ratio
+        # consumer maps thresholds per kind — a typo'd kind would silently
+        # select the SIFT path, so fail construction instead.
+        if self.kind not in ("sift", "orb"):
+            raise ValueError(
+                f"FeatureConfig.kind must be 'sift' or 'orb', got {self.kind!r}"
+            )
 
 
 @dataclasses.dataclass(frozen=True)
@@ -454,8 +464,8 @@ class SfMConfig:
         return cls.from_dict(json.loads(s))
 
 
-def effective_match_config(config: "SfMConfig") -> MatchConfig:
-    """MatchConfig with the Lowe ratio mapped into the matcher's metric.
+def map_ratio_for_kind(ratio: float, kind: str) -> float:
+    """Map a NATIVE-metric Lowe ratio into the matcher's squared-L2 metric.
 
     The ratio test is defined on NATIVE descriptor distances — L2 for float
     descriptors, Hamming for binary (reference find_matches.py:150-153:
@@ -464,15 +474,21 @@ def effective_match_config(config: "SfMConfig") -> MatchConfig:
     descriptors that is exactly the L2 ratio test, but for ±1-encoded binary
     descriptors squared-L2 is LINEAR in Hamming (features/binary.py), so the
     configured ratio r must enter the squared comparison as sqrt(r) to test
-    ``hamming1 < r * hamming2``. Every consumer that derives per-pair match
-    parameters from an SfMConfig must go through this helper.
+    ``hamming1 < r * hamming2``. Every consumer that hands a ratio threshold
+    to the matcher must route it through this mapping (or one of the
+    ``effective_*`` helpers below).
     """
-    if config.features.kind == "orb":
-        return dataclasses.replace(
-            config.matching,
-            ratio_threshold=float(config.matching.ratio_threshold) ** 0.5,
-        )
-    return config.matching
+    return float(ratio) ** 0.5 if kind == "orb" else float(ratio)
+
+
+def effective_match_config(config: "SfMConfig") -> MatchConfig:
+    """MatchConfig with the Lowe ratio mapped into the matcher's squared-L2
+    metric per the feature kind (``map_ratio_for_kind``)."""
+    return dataclasses.replace(
+        config.matching,
+        ratio_threshold=map_ratio_for_kind(
+            config.matching.ratio_threshold, config.features.kind),
+    )
 
 
 def effective_retrieval_config(config: "SfMConfig") -> RetrievalConfig:
@@ -480,9 +496,15 @@ def effective_retrieval_config(config: "SfMConfig") -> RetrievalConfig:
     scorer's squared-L2 metric — same mapping as ``effective_match_config``
     (the retrieval scorer reuses the matcher's ``d1 < r^2 * d2`` comparison,
     retrieval.py:59)."""
-    if config.features.kind == "orb":
-        return dataclasses.replace(
-            config.retrieval,
-            ratio_threshold=float(config.retrieval.ratio_threshold) ** 0.5,
-        )
-    return config.retrieval
+    return dataclasses.replace(
+        config.retrieval,
+        ratio_threshold=map_ratio_for_kind(
+            config.retrieval.ratio_threshold, config.features.kind),
+    )
+
+
+def effective_guided_ratio(config: "SfMConfig") -> float:
+    """PnPConfig.guided_ratio mapped into the guided 2D-3D matcher's
+    squared-L2 comparison (incremental._guided_match uses the same
+    ``d1 < r^2 * d2`` form as the pair matcher)."""
+    return map_ratio_for_kind(config.pnp.guided_ratio, config.features.kind)

@@ -131,10 +131,14 @@ def fast_scores(image, threshold: float):
         w9 = w8 & jnp.roll(m, -8, 0)                # 9
         return w9.any(axis=0)
 
-    corner = has_arc9(bright) | has_arc9(dark)
+    arc_b, arc_d = has_arc9(bright), has_arc9(dark)
     sb = jnp.where(bright, ring - image[None] - threshold, 0.0).sum(0)
     sd = jnp.where(dark, image[None] - ring - threshold, 0.0).sum(0)
-    return jnp.where(corner, jnp.maximum(sb, sd), 0.0)
+    # Each polarity's sum only counts if THAT polarity's arc test passed —
+    # otherwise a dark-arc corner with a few strongly bright non-arc samples
+    # would be ranked by the bright sum and could NMS-suppress a genuine
+    # neighbor.
+    return jnp.maximum(jnp.where(arc_b, sb, 0.0), jnp.where(arc_d, sd, 0.0))
 
 
 def _nms3(score):
@@ -167,10 +171,9 @@ def detect_orb(image, mask, config: FeatureConfig, has_mask: bool):
 
     if has_mask:
         if config.mask_dilate > 0:
-            d = 2 * config.mask_dilate + 1
-            mask = jax.lax.reduce_window(
-                mask, False, jax.lax.bitwise_or, (d, d), (1, 1), "SAME"
-            )
+            from sfm_tpu.features.frontend import dilate_mask
+
+            mask = dilate_mask(mask, config.mask_dilate)
         # Gate the SCORE, not the image: the reference zeroes background
         # pixels then post-filters keypoints by mask (find_matches.py:92-133),
         # which manufactures silhouette-edge corners it must then discard.

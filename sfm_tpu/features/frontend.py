@@ -77,6 +77,17 @@ def _unpack_mask(packed, w: int):
     return bits.reshape(packed.shape[0], -1)[:, :w].astype(bool)
 
 
+def dilate_mask(mask, radius: int):
+    """Grow a boolean foreground mask by ``radius`` px (morphological
+    dilation as an OR max-pool) so keypoints on the silhouette boundary
+    survive — the analogue of the reference's morphological close on the
+    mask (find_matches.py:70). Shared by the SIFT and ORB detection paths."""
+    d = 2 * radius + 1
+    return jax.lax.reduce_window(
+        mask, False, jax.lax.bitwise_or, (d, d), (1, 1), "SAME"
+    )
+
+
 @partial(jax.jit, static_argnames=("config", "has_mask"))
 def _detect_impl(image, mask, config: FeatureConfig, has_mask: bool) -> Features:
     image = _normalize_image(image)
@@ -148,14 +159,7 @@ def _detect_impl(image, mask, config: FeatureConfig, has_mask: bool) -> Features
     # ---- stage 2: mask gate + global selection on metadata only -----------
     if has_mask:
         if config.mask_dilate > 0:
-            # Grow the foreground by mask_dilate px (morphological dilation as
-            # a max-pool) so keypoints on the silhouette boundary survive —
-            # the analogue of the reference's morphological close on the mask
-            # (find_matches.py:70).
-            d = 2 * config.mask_dilate + 1
-            mask = jax.lax.reduce_window(
-                mask, False, jax.lax.bitwise_or, (d, d), (1, 1), "SAME"
-            )
+            mask = dilate_mask(mask, config.mask_dilate)
         h, w = image.shape
         xi = jnp.clip(jnp.round(xy[:, 0]).astype(jnp.int32), 0, w - 1)
         yi = jnp.clip(jnp.round(xy[:, 1]).astype(jnp.int32), 0, h - 1)

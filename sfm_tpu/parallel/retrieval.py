@@ -31,8 +31,26 @@ def sharded_retrieval_scores(
     mesh,
     config: RetrievalConfig = RetrievalConfig(),
     pairs_per_device: int = 1024,
+    feature_kind: str = "sift",
 ) -> np.ndarray:
-    """`retrieval_scores` with the pair axis sharded over ``mesh``."""
+    """`retrieval_scores` with the pair axis sharded over ``mesh``.
+
+    ``feature_kind`` maps ``config.ratio_threshold`` into the scorer's
+    squared-L2 metric (config.map_ratio_for_kind) — binary (orb) callers
+    must pass it or the Hamming ratio silently tightens to r^2. The
+    single-device path gets the same mapping from
+    ``config.effective_retrieval_config`` at its call site
+    (matching/api.py); this parallel twin has no SfMConfig in scope, so the
+    kind travels as an argument.
+    """
+    import dataclasses
+
+    from sfm_tpu.config import map_ratio_for_kind
+
+    config = dataclasses.replace(
+        config,
+        ratio_threshold=map_ratio_for_kind(config.ratio_threshold, feature_kind),
+    )
     axis = mesh.axis_names[0]
     chunk = pairs_per_device * mesh.devices.size
 
@@ -72,15 +90,17 @@ def sharded_select_candidate_pairs(
     config: RetrievalConfig = RetrievalConfig(),
     pairs: Optional[np.ndarray] = None,
     pairs_per_device: int = 1024,
+    feature_kind: str = "sift",
 ):
-    """`select_candidate_pairs` with scoring sharded over ``mesh``."""
+    """`select_candidate_pairs` with scoring sharded over ``mesh``
+    (``feature_kind``: see sharded_retrieval_scores)."""
     import time
 
     t0 = time.time()
     if pairs is None:
         pairs = candidate_pairs(num_images)
     scores = sharded_retrieval_scores(
-        desc, valid, pairs, mesh, config, pairs_per_device
+        desc, valid, pairs, mesh, config, pairs_per_device, feature_kind
     )
     keep = select_pairs_from_scores(
         scores, pairs, num_images, config.min_score, config.top_k

@@ -637,10 +637,12 @@ class StructureFromMotion:
                 if self.feat_valid is not None
                 else np.ones(desc_img.shape[0], bool)
             )
+            from sfm_tpu.config import effective_guided_ratio
+
             t_best, d_best, ok = map(np.asarray, _guided_match(
                 jnp.asarray(desc_img), jnp.asarray(valid_img),
                 jnp.asarray(pd), jnp.asarray(pv), jnp.asarray(pt),
-                cfg.guided_ratio,
+                effective_guided_ratio(self.config),
             ))
             kp_ids = np.nonzero(ok)[0]
             if len(kp_ids) < cfg.min_inliers:

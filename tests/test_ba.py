@@ -405,6 +405,51 @@ class TestBlockedBA:
         e_b = mean_reproj_error(flat_b)
         assert e_f < 0.05 and e_b < 0.05
 
+    def test_segment_sum_fallback_matches_onehot(self, rng, monkeypatch):
+        """Past _ONEHOT_BUDGET_ELEMS the camera reduction switches from the
+        dense one-hot matmul to segment_sum (the 4000-camera corridor OOM'd
+        on a 21 GB one-hot). Both reductions must produce the same solve."""
+        import sfm_tpu.ba.blocked as blocked_mod
+        from sfm_tpu.ba.blocked import run_ba_blocked
+
+        s = make_scene(rng, n_cams=5, n_pts=80)
+        rvec = s["rvec"] + rng.normal(scale=0.008, size=s["rvec"].shape).astype(np.float32)
+        rvec[0] = s["rvec"][0]
+        b = self._to_blocked(s, rvec=rvec)
+        o1, _ = run_ba_blocked(b, CFG, optimize_intrinsics=False)
+
+        monkeypatch.setattr(blocked_mod, "_ONEHOT_BUDGET_ELEMS", 0)
+        run_ba_blocked.clear_cache()  # constant is baked at trace time
+        try:
+            o2, _ = run_ba_blocked(b, CFG, optimize_intrinsics=False)
+        finally:
+            run_ba_blocked.clear_cache()  # don't leak scatter traces to other tests
+        np.testing.assert_allclose(
+            np.asarray(o1.points), np.asarray(o2.points), atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(o1.rvec), np.asarray(o2.rvec), atol=1e-6
+        )
+
+    def test_flat_segment_sum_fallback_matches_onehot(self, rng, monkeypatch):
+        import sfm_tpu.ba.schur as schur_mod
+        from sfm_tpu.ba.lm import _run_ba_jit
+
+        s = make_scene(rng, n_cams=5, n_pts=80)
+        rvec = s["rvec"] + rng.normal(scale=0.008, size=s["rvec"].shape).astype(np.float32)
+        rvec[0] = s["rvec"][0]
+        flat = problem_from_scene(s, rvec=rvec)
+        o1, _ = run_ba(flat, CFG, optimize_intrinsics=False)
+        monkeypatch.setattr(schur_mod, "_ONEHOT_BUDGET_ELEMS", 0)
+        _run_ba_jit.clear_cache()  # constant is baked at trace time
+        try:
+            o2, _ = run_ba(flat, CFG, optimize_intrinsics=False)
+        finally:
+            _run_ba_jit.clear_cache()
+        np.testing.assert_allclose(
+            np.asarray(o1.points), np.asarray(o2.points), atol=1e-4
+        )
+
     def test_blocked_padding_ignored(self, rng):
         from sfm_tpu.ba.blocked import run_ba_blocked
 

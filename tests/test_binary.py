@@ -44,6 +44,33 @@ def _fast_oracle(img, t):
 
 
 class TestFast:
+    def test_score_is_qualifying_polaritys_sum(self):
+        """The NMS/top-k ranking score must come from the polarity whose arc
+        test PASSED — a dark-arc corner with strongly bright non-arc samples
+        must not be ranked by the bright sum (review finding)."""
+        import jax.numpy as jnp
+
+        img = _rng(5).random((40, 48)).astype(np.float32)
+        t = 0.12
+        score = np.asarray(binary.fast_scores(jnp.asarray(img), t))
+        ring = binary._RING
+        for y, x in np.argwhere(score > 0)[:50]:
+            if not (3 <= y < 37 and 3 <= x < 45):
+                continue
+            c = img[y, x]
+            vals = np.array([img[y + dy, x + dx] for dy, dx in ring])
+            want = 0.0
+            for m, s in ((vals > c + t, (vals - c - t)),
+                         (vals < c - t, (c - vals - t))):
+                mm = np.concatenate([m, m])
+                run = best = 0
+                for b in mm[:24]:
+                    run = run + 1 if b else 0
+                    best = max(best, run)
+                if best >= 9:
+                    want = max(want, s[m].sum())
+            np.testing.assert_allclose(score[y, x], want, rtol=1e-5)
+
     def test_arc_test_matches_bruteforce(self):
         import jax.numpy as jnp
 
@@ -185,6 +212,54 @@ class TestMatcherContract:
         )
         assert (effective_retrieval_config(SfMConfig()).ratio_threshold
                 == SfMConfig().retrieval.ratio_threshold)
+
+    def test_kind_is_validated_at_construction(self):
+        """from_dict / direct construction must reject unknown kinds instead
+        of silently running the SIFT path (review finding)."""
+        with pytest.raises(ValueError, match="kind"):
+            FeatureConfig(kind="ORB")
+        with pytest.raises(ValueError, match="kind"):
+            SfMConfig.from_dict({"features": {"kind": "brisk"}})
+
+    def test_guided_ratio_maps_for_orb(self):
+        from sfm_tpu.config import PnPConfig, effective_guided_ratio
+
+        cfg = SfMConfig(features=FeatureConfig(kind="orb"),
+                        pnp=PnPConfig(guided_ratio=0.9))
+        assert effective_guided_ratio(cfg) == pytest.approx(0.9 ** 0.5)
+        assert effective_guided_ratio(SfMConfig()) == SfMConfig().pnp.guided_ratio
+
+    def test_sharded_retrieval_maps_kind(self, rng):
+        """The sharded retrieval twin must apply the same ratio mapping as
+        the single-device path when told the features are binary (review
+        finding: the parallel path silently scored at Hamming ratio r^2)."""
+        import jax
+
+        from tests.test_reconstruction import make_multiview
+        from sfm_tpu.config import RetrievalConfig
+        from sfm_tpu.matching.retrieval import retrieval_scores
+        from sfm_tpu.parallel import make_mesh, sharded_retrieval_scores
+        from sfm_tpu.matching.sweep import candidate_pairs
+
+        assert len(jax.devices()) >= 8
+        scene = _binarize_scene(
+            make_multiview(rng, n_cams=6, n_pts=150, K_budget=64, D=64)
+        )
+        rcfg = RetrievalConfig(ratio_threshold=0.75)
+        pairs = candidate_pairs(6)
+        mapped = dataclasses.replace(rcfg, ratio_threshold=0.75 ** 0.5)
+        want = retrieval_scores(scene["desc"], scene["valid"], pairs, mapped)
+        got = sharded_retrieval_scores(
+            scene["desc"], scene["valid"], pairs, make_mesh(8), rcfg,
+            feature_kind="orb",
+        )
+        np.testing.assert_array_equal(np.asarray(want), got)
+        # Unmapped (default sift kind) scores differ on this scene — the
+        # mapping is load-bearing, not a no-op.
+        raw = sharded_retrieval_scores(
+            scene["desc"], scene["valid"], pairs, make_mesh(8), rcfg,
+        )
+        assert raw.sum() < got.sum()
 
     def test_ratio_semantics_on_constructed_hammings(self):
         """Construct h_best=60, h_second=70: Hamming ratio 0.857 — rejected
