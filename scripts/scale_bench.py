@@ -254,6 +254,10 @@ def corridor(n_cams, n_pts, mode="global", use_retrieval=False):
     # right trade (A/B at 200 cams: 15 it -> 0.518 px, 30 it -> 0.450 px).
     # Incremental keeps periodic BA shallower (it runs O(N/frequency) solves).
     glob = mode == "global"
+    # mode="polish": the incremental engine + pose-graph drift correction
+    # (GlobalInitConfig.polish) — measures what the averaging polish buys an
+    # incremental run on a drift-prone chain vs plain incremental and vs the
+    # from-scratch global path.
     cfg = SfMConfig(
         matching=MatchConfig(max_matches=512),
         verify=VerifyConfig(ransac_iters=1024),
@@ -262,7 +266,7 @@ def corridor(n_cams, n_pts, mode="global", use_retrieval=False):
                     optimize_intrinsics=False, prune_multiplier=3.0,
                     frequency=7),
         triangulation=TriangulationConfig(cadence=2),
-        global_init=GlobalInitConfig(enabled=glob),
+        global_init=GlobalInitConfig(enabled=glob, polish=(mode == "polish")),
     )
     rcfg = RetrievalConfig(mode="on") if use_retrieval else None
     # The tunnel's remote-compile path fails transiently under load; a flake

@@ -52,6 +52,11 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--global_init", action="store_true",
                    help="global SfM: rotation+translation averaging over the "
                         "pair graph instead of incremental growth")
+    p.add_argument("--polish", action="store_true",
+                   help="pose-graph drift correction after the incremental "
+                        "loop: re-average registered cameras seeded from the "
+                        "incremental poses, retriangulate, BA (no-op with "
+                        "--global_init)")
 
 
 def parse_args(argv=None) -> argparse.Namespace:
@@ -163,6 +168,10 @@ def main(argv=None) -> int:
         if getattr(args, "global_init", False):
             cfg = cfg.replace(
                 global_init=dataclasses.replace(cfg.global_init, enabled=True)
+            )
+        if getattr(args, "polish", False):
+            cfg = cfg.replace(
+                global_init=dataclasses.replace(cfg.global_init, polish=True)
             )
         if getattr(args, "match_mode", None):
             cfg = cfg.replace(

@@ -344,6 +344,30 @@ class GlobalInitConfig:
                                        # (tuned on bunny+corridor; raise for
                                        # hostile graphs — more outliers or
                                        # weak cycles need more alternations)
+    polish: bool = False               # pose-graph drift correction for the
+                                       # INCREMENTAL path: after the
+                                       # registration loop, re-solve every
+                                       # registered camera by rotation +
+                                       # translation averaging SEEDED from
+                                       # the incremental poses, then
+                                       # retriangulate + BA. Removes the
+                                       # accumulated drift BA cannot see
+                                       # (1000-cam corridor: 7.5 deg median
+                                       # GT rotation error at 0.45 px).
+                                       # Independent of ``enabled`` (which
+                                       # replaces the incremental loop
+                                       # entirely)
+    polish_min_gain: float = 0.2       # adopt the polished poses only if
+                                       # the median pair-rotation residual
+                                       # improves by this FRACTION. Real
+                                       # drift collapses the residual (7.5
+                                       # -> ~0.4 deg); on averaging-hostile
+                                       # graphs the solve "wins" marginally
+                                       # while being metrically worse
+                                       # (bunny, measured: 9.98 -> 9.89 deg
+                                       # adoption rebuilt the cloud at 853
+                                       # points where incremental had
+                                       # ~2,870)
     consistency_warn_deg: float = 10.0 # an edge whose measured rotation
                                        # disagrees with the final model by
                                        # more than this counts as graph

@@ -767,6 +767,26 @@ def cycle_consistency_weights(pairs, R_rel, sigma_deg: float = 15.0,
 # --------------------------------------------------------------------------
 
 
+def _averaging_weights(rel, cfg):
+    """Per-edge averaging weights: inlier count x cheirality evidence x
+    cycle consistency (shared by :func:`global_poses` and
+    :func:`polish_poses`). Returns (weights, n_cycle_downweighted)."""
+    w = rel["weight"]
+    # Pose-evidence weighting: a pair whose cheirality vote covered only a
+    # small fraction of its inliers produced a weakly-supported (R, t) —
+    # scale its averaging weight by that fraction (floored, never zeroed).
+    cheir = np.clip(
+        rel["cheirality_good"] / np.maximum(rel["weight"], 1.0), 0.1, 1.0
+    ).astype(np.float32)
+    w = w * cheir
+    if cfg.cycle_sigma_deg > 0:
+        cyc = cycle_consistency_weights(
+            rel["pairs"], rel["R"], sigma_deg=cfg.cycle_sigma_deg)
+        w = w * cyc
+        return w, int((cyc < 0.5).sum())
+    return w, 0
+
+
 def global_poses(table, K, num_images, config=None, mesh=None,
                  return_rel=False):
     """Solve all camera poses from the verified-pair table.
@@ -790,21 +810,7 @@ def global_poses(table, K, num_images, config=None, mesh=None,
     )
     t1 = _time.time()
     P = rel["pairs"].shape[0]
-    w = rel["weight"]
-    # Pose-evidence weighting: a pair whose cheirality vote covered only a
-    # small fraction of its inliers produced a weakly-supported (R, t) —
-    # scale its averaging weight by that fraction (floored, never zeroed).
-    cheir = np.clip(
-        rel["cheirality_good"] / np.maximum(rel["weight"], 1.0), 0.1, 1.0
-    ).astype(np.float32)
-    w = w * cheir
-    if cfg.cycle_sigma_deg > 0:
-        cyc = cycle_consistency_weights(
-            rel["pairs"], rel["R"], sigma_deg=cfg.cycle_sigma_deg)
-        w = w * cyc
-        n_down = int((cyc < 0.5).sum())
-    else:
-        n_down = 0
+    w, n_down = _averaging_weights(rel, cfg)
     t2 = _time.time()
     forest = spanning_forest(rel["pairs"], w, num_images) if cfg.tree_init else None
     R_init = (tree_init_rotations(forest, rel["R"], num_images)
@@ -835,6 +841,77 @@ def global_poses(table, K, num_images, config=None, mesh=None,
         rel["weight_eff"] = w
         return rvec, tvec, placed, rel
     return rvec, tvec, placed
+
+
+def polish_poses(table, K, num_images, rvec, tvec, registered,
+                 config=None, mesh=None):
+    """Pose-graph drift correction for an incrementally-built model.
+
+    Incremental SfM on long weakly-looped sequences accumulates a smooth
+    pose drift that bundle adjustment cannot remove: BA minimizes
+    reprojection residuals, which a drifted-but-self-consistent model
+    already satisfies (1000-camera corridor, measured: 7.5 deg median GT
+    rotation error at 0.45 px reprojection). The individual pairwise
+    measurements are locally accurate (~0.1 deg) — only their COMPOSITION
+    drifted — so this re-solves every registered camera's absolute pose in
+    one shot: relative poses over the registered-registered subgraph of the
+    verified-pair table, rotation averaging seeded from the current
+    rotations, and scale-explicit-ALS translation averaging seeded from the
+    current camera centers (the seeds keep both solvers convergent on
+    large-diameter graphs, same mechanism as the spanning-tree init of the
+    from-scratch global path — see :func:`translation_averaging`).
+
+    Output scale is re-aligned to the input model (translation averaging
+    normalizes the median baseline to 1; the caller's triangulated state
+    and checkpoints live at the incremental scale).
+
+    Returns ``(rvec', tvec', placed, rel)``; ``placed`` marks registered
+    cameras covered by the averaging subgraph. Callers should UNREGISTER
+    registered cameras outside it (``registered & ~placed``) and re-localize
+    them by guided PnP — their incremental poses live in the old drifted
+    gauge and cannot be mixed into the polished model.
+    """
+    import dataclasses as _dc
+
+    from sfm_tpu.config import GlobalInitConfig
+
+    cfg = config or GlobalInitConfig()
+    registered = np.asarray(registered, bool)
+    pairs_all = np.asarray(table.pairs)
+    both = registered[pairs_all[:, 0]] & registered[pairs_all[:, 1]]
+    sub = _dc.replace(table, accept=np.asarray(table.accept) & both)
+    rel = pairwise_relative_poses(
+        sub, K, min_inliers=cfg.min_pair_inliers,
+        refine_gn_iters=cfg.gn_iters, max_matches=cfg.pair_matches,
+        mesh=mesh,
+    )
+    w, n_down = _averaging_weights(rel, cfg)
+    R_cur = np.asarray(rodrigues(jnp.asarray(rvec)), np.float32)
+    R_abs = rotation_averaging(
+        rel["pairs"], rel["R"], w, num_images,
+        power_iters=cfg.power_iters, refine_iters=cfg.refine_iters,
+        init=R_cur,
+    )
+    C_cur = -np.einsum("nba,nb->na", R_cur, np.asarray(tvec, np.float32))
+    C = translation_averaging(
+        rel["pairs"], R_abs, rel["t"], w, num_images,
+        als_rounds=cfg.als_rounds, cg_iters=cfg.cg_iters, init=C_cur,
+    )
+    i_idx, j_idx = rel["pairs"][:, 0], rel["pairs"][:, 1]
+    base_in = np.linalg.norm(C_cur[j_idx] - C_cur[i_idx], axis=-1)
+    base_out = np.linalg.norm(C[j_idx] - C[i_idx], axis=-1)
+    if len(base_out):
+        C = C * (float(np.median(base_in)) / max(float(np.median(base_out)), 1e-12))
+    placed = np.zeros(num_images, bool)
+    placed[rel["pairs"].ravel()] = True
+    placed &= registered
+    logger.info(
+        "polish: %d pairs (%d cycle-downweighted) cover %d/%d registered "
+        "cameras", rel["pairs"].shape[0], n_down, int(placed.sum()),
+        int(registered.sum()))
+    rvec_out = np.asarray(rotation_to_rvec(jnp.asarray(R_abs)), np.float32)
+    tvec_out = -np.einsum("nab,nb->na", R_abs, C).astype(np.float32)
+    return rvec_out, tvec_out, placed, rel
 
 
 def pair_rotation_residuals(rvec, pairs, R_rel):

@@ -1,0 +1,243 @@
+"""Pose-graph drift correction for the incremental path (global_init.polish).
+
+Incremental SfM accumulates a smooth pose drift that BA cannot remove (the
+drifted model is self-consistent in reprojection — measured 7.5 deg median GT
+rotation error at 0.45 px on the 1000-camera corridor). These tests inject a
+compounding rotational bend into ground-truth poses and check that
+polish_poses / StructureFromMotion.pose_graph_polish recover the unbent
+geometry from the pair graph, plus the hostile-graph keep-incremental guard
+and the CLI/config wiring.
+"""
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from scipy.spatial.transform import Rotation
+
+from sfm_tpu.config import (
+    SfMConfig, MatchConfig, VerifyConfig, PnPConfig, BAConfig, GlobalInitConfig,
+)
+from sfm_tpu.matching import all_pairs_sweep
+from sfm_tpu.reconstruction import StructureFromMotion
+from sfm_tpu.reconstruction.global_init import polish_poses
+from sfm_tpu.geometry import rodrigues, rotation_to_rvec
+
+from test_reconstruction import make_multiview
+
+
+def rot_angle_deg(A, B):
+    c = np.clip((np.trace(A @ B.T) - 1.0) * 0.5, -1.0, 1.0)
+    return float(np.degrees(np.arccos(c)))
+
+
+@pytest.fixture(scope="module")
+def scene_and_table():
+    rng = np.random.default_rng(23)
+    scene = make_multiview(rng)
+    cfg = SfMConfig(
+        matching=MatchConfig(max_matches=256),
+        verify=VerifyConfig(ransac_iters=512),
+    )
+    table = all_pairs_sweep(scene["xy"], scene["desc"], scene["valid"], cfg,
+                            chunk_size=8)
+    return scene, table
+
+
+def drifted_poses(scene, bend_deg_per_cam=2.0):
+    """GT poses bent by a compounding world-frame rotation (what incremental
+    chain drift looks like: each camera carries the accumulated error of the
+    registrations before it)."""
+    n = scene["R"].shape[0]
+    rvec = np.zeros((n, 3), np.float32)
+    tvec = np.zeros((n, 3), np.float32)
+    for c in range(n):
+        D = Rotation.from_euler("y", np.radians(bend_deg_per_cam * c)).as_matrix()
+        Rd = (scene["R"][c] @ D.T).astype(np.float32)  # world pre-rotated
+        C = -scene["R"][c].T @ scene["t"][c]
+        Cd = (D @ C).astype(np.float32)
+        rvec[c] = np.asarray(rotation_to_rvec(jnp.asarray(Rd)))
+        tvec[c] = -Rd @ Cd
+    return rvec, tvec
+
+
+def rel_rot_errors(rvec, scene):
+    """Relative-rotation error (deg) of each camera vs camera 0 against GT —
+    gauge-free: a pure global rotation scores zero."""
+    R_est = np.asarray(rodrigues(jnp.asarray(rvec)))
+    return [
+        rot_angle_deg(R_est[i] @ R_est[0].T, scene["R"][i] @ scene["R"][0].T)
+        for i in range(1, scene["R"].shape[0])
+    ]
+
+
+class TestPolishPoses:
+    def test_recovers_from_drift(self, scene_and_table):
+        scene, table = scene_and_table
+        n = scene["R"].shape[0]
+        rvec_d, tvec_d = drifted_poses(scene)
+        assert max(rel_rot_errors(rvec_d, scene)) > 8.0  # drift is real
+        registered = np.ones(n, bool)
+        rvec_p, tvec_p, placed, rel = polish_poses(
+            table, scene["K"], n, rvec_d, tvec_d, registered,
+            config=GlobalInitConfig(),
+        )
+        assert placed.sum() == n
+        assert max(rel_rot_errors(rvec_p, scene)) < 2.0
+        # Scale is re-aligned to the input model, not the unit-baseline
+        # gauge of translation_averaging.
+        R_d = np.asarray(rodrigues(jnp.asarray(rvec_d)))
+        R_p = np.asarray(rodrigues(jnp.asarray(rvec_p)))
+        C_d = -np.einsum("nba,nb->na", R_d, tvec_d)
+        C_p = -np.einsum("nba,nb->na", R_p, tvec_p)
+        i, j = rel["pairs"][:, 0], rel["pairs"][:, 1]
+        s_in = np.median(np.linalg.norm(C_d[j] - C_d[i], axis=-1))
+        s_out = np.median(np.linalg.norm(C_p[j] - C_p[i], axis=-1))
+        assert abs(s_out / s_in - 1.0) < 0.2
+
+    def test_subgraph_restricted_to_registered(self, scene_and_table):
+        scene, table = scene_and_table
+        n = scene["R"].shape[0]
+        rvec_d, tvec_d = drifted_poses(scene)
+        registered = np.ones(n, bool)
+        registered[n - 1] = False
+        _, _, placed, rel = polish_poses(
+            table, scene["K"], n, rvec_d, tvec_d, registered,
+            config=GlobalInitConfig(),
+        )
+        assert not placed[n - 1]
+        assert (rel["pairs"] != n - 1).all()
+
+
+class TestEnginePolish:
+    def test_pose_graph_polish_rebuilds_model(self, scene_and_table):
+        scene, table = scene_and_table
+        n = scene["R"].shape[0]
+        cfg = SfMConfig(
+            pnp=PnPConfig(ransac_iters=512),
+            ba=BAConfig(max_iterations=15, cg_iters=40,
+                        optimize_intrinsics=False),
+            global_init=GlobalInitConfig(polish=True, refine_rounds=1),
+        )
+        sfm = StructureFromMotion(table, scene["xy"], cfg)
+        rvec_d, tvec_d = drifted_poses(scene)
+        sfm.rvec[:] = rvec_d
+        sfm.tvec[:] = tvec_d
+        sfm.registered[:] = True
+        sfm.reg_order = list(range(n))
+        assert sfm.pose_graph_polish()
+        assert sfm._polish_stats["polish_applied"]
+        assert (sfm._polish_stats["polish_pair_residual_deg_after"]
+                < sfm._polish_stats["polish_pair_residual_deg_before"])
+        assert max(rel_rot_errors(sfm.rvec, scene)) < 2.0
+        # The cloud was rebuilt in the polished frame and converged.
+        assert sfm.point_valid.sum() > 100
+        stats = sfm.compute_stats()
+        assert stats["mean_reprojection_error"] < 1.0
+
+    def test_hostile_graph_keeps_incremental_poses(self, scene_and_table,
+                                                   monkeypatch):
+        """If the averaging result disagrees with the pair measurements more
+        than the incremental poses do, the polish must refuse to adopt it."""
+        from sfm_tpu.reconstruction import global_init as gi
+
+        scene, table = scene_and_table
+        n = scene["R"].shape[0]
+        cfg = SfMConfig(global_init=GlobalInitConfig(polish=True))
+        sfm = StructureFromMotion(table, scene["xy"], cfg)
+        # Incremental poses = GT (already consistent with the measurements).
+        for c in range(n):
+            sfm.rvec[c] = np.asarray(rotation_to_rvec(jnp.asarray(scene["R"][c])))
+            sfm.tvec[c] = scene["t"][c]
+        sfm.registered[:] = True
+        sfm.reg_order = list(range(n))
+        rng = np.random.default_rng(0)
+
+        def fake_polish(table_, K, num_images, rvec, tvec, registered, **kw):
+            # Measured pair rotations consistent with GT, estimate garbage.
+            bad_r = rng.normal(size=(num_images, 3)).astype(np.float32)
+            placed = np.asarray(registered, bool).copy()
+            p = np.asarray(table_.pairs[table_.accept], np.int32)
+            Rg = scene["R"]
+            rel = {"pairs": p,
+                   "R": np.einsum("pab,pcb->pac", Rg[p[:, 1]], Rg[p[:, 0]])}
+            return bad_r, np.zeros((num_images, 3), np.float32), placed, rel
+
+        monkeypatch.setattr(gi, "polish_poses", fake_polish)
+        rvec_before = sfm.rvec.copy()
+        assert not sfm.pose_graph_polish()
+        assert not sfm._polish_stats["polish_applied"]
+        np.testing.assert_array_equal(sfm.rvec, rvec_before)
+        assert sfm.registered.all()
+
+    @pytest.mark.parametrize("min_gain,residuals,expect_adopt", [
+        (0.2, (10.0, 9.0), False),   # 10% gain < 20% floor: bunny's failure
+        (0.05, (10.0, 9.0), True),   # knob consumer: lower floor adopts
+        (0.2, (10.0, 2.0), True),    # real drift: 80% gain adopts
+    ])
+    def test_material_gain_gate(self, scene_and_table, monkeypatch,
+                                min_gain, residuals, expect_adopt):
+        """Adoption requires a MATERIAL pair-residual improvement
+        (polish_min_gain): on the real bunny artifacts a 9.98 -> 9.89 deg
+        marginal win rebuilt the cloud at 853 points where incremental had
+        ~2,870 — marginal wins on averaging-hostile graphs must refuse."""
+        from sfm_tpu.reconstruction import global_init as gi
+
+        scene, table = scene_and_table
+        n = scene["R"].shape[0]
+        cfg = SfMConfig(global_init=GlobalInitConfig(
+            polish=True, polish_min_gain=min_gain))
+        sfm = StructureFromMotion(table, scene["xy"], cfg)
+        sfm.registered[:] = True
+        sfm.reg_order = list(range(n))
+
+        def fake_polish(table_, K, num_images, rvec, tvec, registered, **kw):
+            p = np.asarray(table_.pairs[table_.accept], np.int32)
+            rel = {"pairs": p, "R": np.zeros((len(p), 3, 3), np.float32)}
+            return (rvec.copy(), tvec.copy(),
+                    np.asarray(registered, bool).copy(), rel)
+
+        seq = iter(residuals)
+        monkeypatch.setattr(gi, "polish_poses", fake_polish)
+        monkeypatch.setattr(
+            gi, "pair_rotation_residuals",
+            lambda rv, pairs, R: np.full(len(pairs), next(seq), np.float32))
+        if expect_adopt:
+            # Skip the (expensive, already-tested) rebuild stages.
+            monkeypatch.setattr(sfm, "_triangulate", lambda **kw: 0)
+            monkeypatch.setattr(sfm, "bundle_adjust", lambda final=False: None)
+            monkeypatch.setattr(sfm, "prune_observations", lambda: None)
+        assert sfm.pose_graph_polish() == expect_adopt
+        assert sfm._polish_stats["polish_applied"] == expect_adopt
+
+
+class TestPolishWiring:
+    def test_run_reconstruction_invokes_polish(self, scene_and_table,
+                                               monkeypatch):
+        scene, table = scene_and_table
+        cfg = SfMConfig(
+            pnp=PnPConfig(ransac_iters=512),
+            ba=BAConfig(max_iterations=10, cg_iters=30,
+                        optimize_intrinsics=False),
+            global_init=GlobalInitConfig(polish=True),
+        )
+        sfm = StructureFromMotion(table, scene["xy"], cfg)
+        called = {}
+        monkeypatch.setattr(
+            StructureFromMotion, "pose_graph_polish",
+            lambda self: called.setdefault("polish", True))
+        res = sfm.run_reconstruction()
+        assert called.get("polish")
+        assert len(res.image_ids) >= 7
+
+    def test_polish_off_by_default(self):
+        # run_reconstruction gates the polish on config.global_init.polish;
+        # the default must be off (the knob changes the result's gauge/scale).
+        assert SfMConfig().global_init.polish is False
+
+    def test_cli_flag_maps_to_config(self):
+        from sfm_tpu.cli import parse_args
+
+        args = parse_args(["reconstruct", "--data_dir", "/tmp/x", "--polish"])
+        assert args.polish
+        args = parse_args(["reconstruct", "--data_dir", "/tmp/x"])
+        assert not args.polish
