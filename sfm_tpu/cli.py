@@ -116,6 +116,12 @@ def _add_recon_flags(p: argparse.ArgumentParser):
                    default=True)
     p.add_argument("--export_meshlab", action=argparse.BooleanOptionalAction,
                    default=True)
+    p.add_argument("--export_bundler", action=argparse.BooleanOptionalAction,
+                   default=False,
+                   help="also write Bundler v0.3 bundle.out + list.txt")
+    p.add_argument("--export_nvm", action=argparse.BooleanOptionalAction,
+                   default=False,
+                   help="also write a VisualSFM NVM_V3 model")
     p.add_argument("--checkpoint_dir", default=None,
                    help="write a mid-reconstruction checkpoint here every "
                         "--checkpoint_every registrations")
@@ -147,6 +153,8 @@ def main(argv=None) -> int:
         use_mask=not args.no_mask,
         export_colmap=getattr(args, "export_colmap", True),
         export_meshlab=getattr(args, "export_meshlab", True),
+        export_bundler=getattr(args, "export_bundler", False),
+        export_nvm=getattr(args, "export_nvm", False),
         visualize=getattr(args, "visualize", False),
         trace_dir=args.trace_dir,
         checkpoint_dir=getattr(args, "checkpoint_dir", None),

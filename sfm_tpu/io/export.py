@@ -285,12 +285,104 @@ class SfMExporter:
         implemented (main.py:249 -> AttributeError; C20). Ours works."""
         save_ply(self.points, path)
 
+    # -------------------------------------------- Bundler / VisualSFM (NVM)
+
+    def export_bundler(self, path, list_path=None) -> None:
+        """Bundler v0.3 `bundle.out` (+ optional image `list.txt`).
+
+        Beyond reference parity: the interchange format consumed by PMVS/
+        CMVS, Bundler-era MVS tools, and many academic pipelines. Axis
+        convention differs from ours (OpenCV-like: z forward, y down):
+        Bundler cameras look down -z with y up, so R/t are premultiplied by
+        diag(1,-1,-1), and view-list pixel coords are relative to the image
+        center with y up. Single focal = mean(fx, fy); k1 = k2 = 0 (our
+        camera model is a pure pinhole).
+        """
+        D = np.diag([1.0, -1.0, -1.0])
+        fx, fy, cx, cy = (float(v) for v in self.intr)
+        f = 0.5 * (fx + fy)
+        order = sorted(self.image_ids)
+        cam_rank = {img: k for k, img in enumerate(order)}
+        _, obs_idx = self._obs_maps()
+
+        with Path(path).open("w") as out:
+            out.write("# Bundle file v0.3\n")
+            out.write(f"{len(order)} {len(self.points)}\n")
+            for img in order:
+                Rb = D @ np.asarray(self.rotations[img], np.float64)
+                tb = D @ np.asarray(self.translations[img], np.float64).reshape(3)
+                out.write(f"{f:.8g} 0 0\n")
+                for row in Rb:
+                    out.write(f"{row[0]:.9g} {row[1]:.9g} {row[2]:.9g}\n")
+                out.write(f"{tb[0]:.9g} {tb[1]:.9g} {tb[2]:.9g}\n")
+            for pid, (p, tr) in enumerate(zip(self.points, self.tracks)):
+                out.write(f"{p[0]:.9g} {p[1]:.9g} {p[2]:.9g}\n")
+                out.write("128 128 128\n")
+                views = [
+                    f"{cam_rank[img]} {obs_idx[(img, pid)]} "
+                    f"{x - cx:.4f} {cy - y:.4f}"
+                    for (img, x, y) in tr
+                    if img in cam_rank
+                ]
+                out.write(f"{len(views)} " + " ".join(views) + "\n")
+        if list_path is not None:
+            Path(list_path).write_text(
+                "".join(f"{img:04d}.ppm\n" for img in order)
+            )
+
+    def export_nvm(self, path) -> None:
+        """VisualSFM NVM_V3 model.
+
+        Beyond reference parity: loadable by VisualSFM, OpenMVS
+        (InterfaceVisualSFM), and Theia. Per-camera line is
+        `name focal qw qx qy qz Cx Cy Cz r 0` with C = -R^T t the camera
+        CENTER (not our translation) and r the radial coefficient (0:
+        pinhole). Measurements are pixel coords relative to the image
+        center (NVM convention), y down like ours.
+        """
+        fx, fy, cx, cy = (float(v) for v in self.intr)
+        f = 0.5 * (fx + fy)
+        order = sorted(self.image_ids)
+        cam_rank = {img: k for k, img in enumerate(order)}
+
+        with Path(path).open("w") as out:
+            out.write("NVM_V3\n\n")
+            out.write(f"{len(order)}\n")
+            for img in order:
+                R = np.asarray(self.rotations[img], np.float64)
+                t = np.asarray(self.translations[img], np.float64).reshape(3)
+                q = np.asarray(quaternion_from_matrix(R), np.float64)
+                C = -R.T @ t
+                out.write(
+                    f"{img:04d}.ppm {f:.8g} "
+                    f"{q[0]:.9g} {q[1]:.9g} {q[2]:.9g} {q[3]:.9g} "
+                    f"{C[0]:.9g} {C[1]:.9g} {C[2]:.9g} 0 0\n"
+                )
+            out.write(f"\n{len(self.points)}\n")
+            _, obs_idx = self._obs_maps()
+            for pid, (p, tr) in enumerate(zip(self.points, self.tracks)):
+                views = [
+                    f"{cam_rank[img]} {obs_idx[(img, pid)]} "
+                    f"{x - cx:.4f} {y - cy:.4f}"
+                    for (img, x, y) in tr
+                    if img in cam_rank
+                ]
+                out.write(
+                    f"{p[0]:.9g} {p[1]:.9g} {p[2]:.9g} 128 128 128 "
+                    f"{len(views)} " + " ".join(views) + "\n"
+                )
+
     def export_all(self, out_dir) -> None:
-        """COLMAP text + binary + db + meshlab PLY (ref export.py:185-197;
-        the binary model is beyond reference parity)."""
+        """COLMAP text + binary + db + meshlab PLY + Bundler + NVM (ref
+        export.py:185-197; binary model, Bundler, and NVM are beyond
+        reference parity)."""
         out = Path(out_dir)
         colmap = out / "colmap"
         self.export_colmap(colmap)
         self.export_colmap_bin(colmap)
         self.create_colmap_database(colmap / "database.db")
         self.export_meshlab(out / "meshlab.ply")
+        bundler = out / "bundler"
+        bundler.mkdir(parents=True, exist_ok=True)
+        self.export_bundler(bundler / "bundle.out", bundler / "list.txt")
+        self.export_nvm(out / "model.nvm")

@@ -162,6 +162,21 @@ def all_pairs_sweep(
     Pads the pair list to a multiple of ``chunk_size`` so exactly one program
     is compiled regardless of P.
     """
+    import os
+    import time as _time
+
+    profile = bool(os.environ.get("SFM_SWEEP_PROFILE"))
+    _t = {"t0": _time.time()}
+
+    def _mark(name, sync=None):
+        if not profile:
+            return
+        if sync is not None:
+            jax.block_until_ready(sync)
+        now = _time.time()
+        print(f"[sweep-profile] {name}: {now - _t['t0']:.2f}s", flush=True)
+        _t["t0"] = now
+
     xy_host = xy if isinstance(xy, np.ndarray) else None
     xy = jnp.asarray(xy)
     desc = jnp.asarray(desc)
@@ -198,10 +213,13 @@ def all_pairs_sweep(
             out["idx1"] = out["idx1"].astype(jnp.int16)
             out["idx2"] = out["idx2"].astype(jnp.int16)
         pending.append(out)
+    _mark("dispatch", sync=pending[-1]["accept"])
     merged_dev = jax.tree.map(lambda *xs: jnp.concatenate(xs)[:P], *pending)
+    _mark("concat", sync=merged_dev["accept"])
 
     # Phase 1: per-pair summaries for ALL pairs (small).
     summary = device_get_chunked({f: merged_dev[f] for f in SUMMARY})
+    _mark("phase1-summary")
 
     # Phase 2: per-match arrays only for rows any consumer can read — the
     # accepted pairs (tracks, selector, artifacts) plus rescue-eligible
@@ -219,17 +237,29 @@ def all_pairs_sweep(
     match_valid = np.zeros((P, M), bool)
     inliers = np.zeros((P, M), bool)
     if len(keep):
-        rows = jnp.asarray(keep)
+        # Bucket the keep-row count to a multiple of 1024 so the
+        # gather+packbits program compiles once per BUCKET, not once per
+        # exact count — on the tunnel a fresh server-side compile costs tens
+        # of seconds. A 1024-multiple (vs power of two) caps the padding
+        # rows' wasted download at ~2 MB.
+        bucket = min(-(-len(keep) // 1024) * 1024, P)
+        rows_padded = np.concatenate(
+            [keep, np.full(bucket - len(keep), keep[0], keep.dtype)]
+        ) if bucket > len(keep) else keep[:bucket]
+        rows = jnp.asarray(rows_padded)
         picked = device_get_chunked({
             "idx1": merged_dev["idx1"][rows],
             "idx2": merged_dev["idx2"][rows],
             "match_valid": jnp.packbits(merged_dev["match_valid"][rows], axis=-1),
             "inliers": jnp.packbits(merged_dev["inliers"][rows], axis=-1),
         })
-        idx1[keep] = picked["idx1"]
-        idx2[keep] = picked["idx2"]
-        match_valid[keep] = np.unpackbits(picked["match_valid"], axis=-1, count=M)
-        inliers[keep] = np.unpackbits(picked["inliers"], axis=-1, count=M)
+        nk = len(keep)
+        idx1[keep] = picked["idx1"][:nk]
+        idx2[keep] = picked["idx2"][:nk]
+        match_valid[keep] = np.unpackbits(
+            picked["match_valid"][:nk], axis=-1, count=M)
+        inliers[keep] = np.unpackbits(picked["inliers"][:nk], axis=-1, count=M)
+    _mark("phase2-rows")
 
     # Keypoint coords came from host in the common path — reuse that copy
     # instead of pulling the device array back in one unchunked transfer.
@@ -238,6 +268,7 @@ def all_pairs_sweep(
     mv = match_valid[..., None]
     xy1 = xy_h[pairs[:, 0][:, None], idx1.astype(np.int64)] * mv
     xy2 = xy_h[pairs[:, 1][:, None], idx2.astype(np.int64)] * mv
+    _mark("host-xy-gather")
     return PairTable(
         pairs=pairs,
         accept=summary["accept"],

@@ -34,6 +34,8 @@ class PipelineArgs:
     use_mask: bool = True
     export_colmap: bool = True
     export_meshlab: bool = True
+    export_bundler: bool = False   # Bundler v0.3 bundle.out (+ list.txt)
+    export_nvm: bool = False       # VisualSFM NVM_V3 model
     visualize: bool = False
     trace_dir: Optional[str] = None   # xprof-compatible device trace output
     checkpoint_dir: Optional[str] = None   # mid-reconstruction checkpoints
@@ -212,6 +214,12 @@ class SfMPipeline:
                 )
             if self.args.export_meshlab:
                 exporter.export_meshlab(self.output_dir / "exports" / "meshlab.ply")
+            if self.args.export_bundler:
+                bdir = self.output_dir / "exports" / "bundler"
+                bdir.mkdir(parents=True, exist_ok=True)
+                exporter.export_bundler(bdir / "bundle.out", bdir / "list.txt")
+            if self.args.export_nvm:
+                exporter.export_nvm(self.output_dir / "exports" / "model.nvm")
             self.save_metrics()
             logger.info("reconstruction done in %.1fs", time.time() - t0)
             return True
