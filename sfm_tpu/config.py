@@ -357,17 +357,40 @@ class GlobalInitConfig:
                                        # Independent of ``enabled`` (which
                                        # replaces the incremental loop
                                        # entirely)
-    polish_min_gain: float = 0.2       # adopt the polished poses only if
-                                       # the median pair-rotation residual
-                                       # improves by this FRACTION. Real
-                                       # drift collapses the residual (7.5
-                                       # -> ~0.4 deg); on averaging-hostile
-                                       # graphs the solve "wins" marginally
-                                       # while being metrically worse
-                                       # (bunny, measured: 9.98 -> 9.89 deg
-                                       # adoption rebuilt the cloud at 853
-                                       # points where incremental had
-                                       # ~2,870)
+    polish_min_gain: float = 0.2       # adopt on a material FRACTIONAL drop
+                                       # of the median pair-rotation
+                                       # residual. NOTE: pairwise residuals
+                                       # are nearly blind to SMOOTH drift
+                                       # (corridor-1000, measured: 7.49 deg
+                                       # median GT error reads as 0.10 deg
+                                       # pairwise, because window-12 pair
+                                       # endpoints share ~99% of the bend) —
+                                       # the absolute gate below is the one
+                                       # that fires on such scenes
+    polish_max_residual_deg: float = 1.0
+                                       # ...OR adopt whenever the polished
+                                       # model is absolutely self-consistent:
+                                       # post-polish median pair residual at
+                                       # or below this AND the gross-outlier
+                                       # edge fraction at or below
+                                       # polish_max_outlier_frac. On such
+                                       # averaging-friendly graphs the
+                                       # averaged poses are trustworthy
+                                       # whether or not the incremental ones
+                                       # were bent (if they weren't, polish
+                                       # is a no-op up to noise). Hostile
+                                       # graphs (bunny: 9.89 deg post
+                                       # residual, 24% outlier edges) still
+                                       # refuse
+    polish_max_outlier_frac: float = 0.1
+    polish_rollback_min_points: float = 0.6
+                                       # safety net: after adopting + the
+                                       # rebuild, if the polished model kept
+                                       # fewer than this fraction of the
+                                       # incremental model's points (or lost
+                                       # registered cameras), restore the
+                                       # saved incremental state — polish is
+                                       # then strictly non-degrading
     consistency_warn_deg: float = 10.0 # an edge whose measured rotation
                                        # disagrees with the final model by
                                        # more than this counts as graph

@@ -988,29 +988,53 @@ class StructureFromMotion:
             if int(placed.sum()) < 3:
                 logger.info("polish: averaging subgraph too small; skipping")
                 return False
+            gcfg = self.config.global_init
             before = float(np.median(
                 pair_rotation_residuals(self.rvec, rel["pairs"], rel["R"])))
-            after = float(np.median(
-                pair_rotation_residuals(rvec, rel["pairs"], rel["R"])))
-            # Material-improvement gate: real drift collapses the residual
-            # (corridor: 7.5 -> ~0.4 deg); a marginal "win" means the
-            # averaging could not fit the measurements either and its poses
-            # are not trustworthy enough to rebuild the cloud on (bunny,
-            # verified on the reference artifacts: adopting a 9.98 -> 9.89
-            # deg result collapsed the cloud 2,870 -> 853 points).
+            res_after = pair_rotation_residuals(rvec, rel["pairs"], rel["R"])
+            after = float(np.median(res_after))
+            outlier_frac = float(np.mean(res_after > gcfg.consistency_warn_deg))
+            # Two adoption gates, either suffices:
+            # (a) material fractional improvement — fires when the drift is
+            #     visible pairwise;
+            # (b) absolute self-consistency: post-polish residual small AND
+            #     few gross-outlier edges. Pairwise residuals are nearly
+            #     blind to SMOOTH drift (corridor-1000, measured: 7.49 deg
+            #     median GT error reads as 0.10 deg pairwise — window-12
+            #     pair endpoints share ~99% of the bend), so gate (a) alone
+            #     can never fire on exactly the scenes polish exists for.
+            #     On averaging-hostile graphs both gates refuse (bunny:
+            #     9.89 deg post residual, 24% outlier edges — adopting
+            #     there collapsed the cloud 2,870 -> 853 points).
             gain = (before - after) / max(before, 1e-9)
-            if gain < self.config.global_init.polish_min_gain:
+            trustworthy = (after <= gcfg.polish_max_residual_deg
+                           and outlier_frac <= gcfg.polish_max_outlier_frac)
+            if gain < gcfg.polish_min_gain and not trustworthy:
                 logger.warning(
-                    "polish gain below threshold (%.2f -> %.2f deg median, "
-                    "gain %.0f%% < %.0f%%): averaging-hostile or drift-free "
-                    "graph, keeping the incremental poses", before, after,
-                    100 * gain, 100 * self.config.global_init.polish_min_gain)
+                    "polish refused (%.2f -> %.2f deg median, gain %.0f%% < "
+                    "%.0f%%; outlier edges %.0f%%): averaging-hostile graph, "
+                    "keeping the incremental poses", before, after,
+                    100 * gain, 100 * gcfg.polish_min_gain,
+                    100 * outlier_frac)
                 self._polish_stats = {
                     "polish_applied": False,
                     "polish_pair_residual_deg_before": before,
                     "polish_pair_residual_deg_after": after,
+                    "polish_pair_outlier_frac": outlier_frac,
                 }
                 return False
+            # Snapshot the incremental state: the rebuild below is allowed
+            # to fail (config.polish_rollback_min_points) and must be
+            # revertible without re-running the registration loop.
+            snapshot = dict(
+                rvec=self.rvec.copy(), tvec=self.tvec.copy(),
+                intr=self.intr.copy(), registered=self.registered.copy(),
+                reg_order=list(self.reg_order), points=self.points.copy(),
+                point_valid=self.point_valid.copy(),
+                view_valid=self.view_valid.copy(),
+            )
+            points_before = int(self.point_valid.sum())
+            cams_before = len(self.reg_order)
             self.rvec[placed] = rvec[placed]
             self.tvec[placed] = tvec[placed]
             dropped = self.registered & ~placed
@@ -1030,6 +1054,7 @@ class StructureFromMotion:
                 "polish_applied": True,
                 "polish_pair_residual_deg_before": before,
                 "polish_pair_residual_deg_after": after,
+                "polish_pair_outlier_frac": outlier_frac,
                 "polish_cameras_dropped": int(dropped.sum()),
             }
             logger.info(
@@ -1042,6 +1067,38 @@ class StructureFromMotion:
             self.prune_observations()
             self._triangulate()
             self.prune_observations()
+        # Rollback safety net: a rebuild that keeps far fewer points than
+        # the incremental model means the polished poses did NOT explain
+        # the observations better (dropped cameras don't count — they are
+        # deferred to guided re-localization by design).
+        points_after = int(self.point_valid.sum())
+        min_keep = self.config.global_init.polish_rollback_min_points
+        if points_after < min_keep * points_before:
+            logger.warning(
+                "polish rolled back: rebuild kept %d of %d points (< %.0f%%) "
+                "— restoring the incremental model",
+                points_after, points_before, 100 * min_keep)
+            self.rvec = snapshot["rvec"]
+            self.tvec = snapshot["tvec"]
+            self.intr = snapshot["intr"]
+            self.registered = snapshot["registered"]
+            self.reg_order = snapshot["reg_order"]
+            self.points = snapshot["points"]
+            self.point_valid = snapshot["point_valid"]
+            self.view_valid = snapshot["view_valid"]
+            self._polish_stats = {
+                "polish_applied": False,
+                "polish_rolled_back": True,
+                "polish_pair_residual_deg_before": before,
+                "polish_pair_residual_deg_after": after,
+                "polish_pair_outlier_frac": outlier_frac,
+                "polish_points_before": points_before,
+                "polish_points_after_rebuild": points_after,
+            }
+            return False
+        self._polish_stats["polish_cameras_before"] = cams_before
+        self._polish_stats["polish_points_before"] = points_before
+        self._polish_stats["polish_points_after_rebuild"] = points_after
         return True
 
     def run_global_reconstruction(self) -> ReconstructionResult:

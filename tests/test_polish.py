@@ -209,6 +209,90 @@ class TestEnginePolish:
         assert sfm.pose_graph_polish() == expect_adopt
         assert sfm._polish_stats["polish_applied"] == expect_adopt
 
+    def test_smooth_drift_adopts_via_absolute_gate(self, scene_and_table,
+                                                   monkeypatch):
+        """Corridor-1000 regression (measured on chip): smooth chain drift
+        reads as 7.49 deg median GT error but only 0.10 deg PAIRWISE —
+        window-limited pair endpoints share ~99% of the bend, so the
+        fractional-gain gate can never fire. The absolute gate must: a
+        0.10 -> 0.09 deg solve (post residual far under
+        polish_max_residual_deg, zero outlier edges) is trustworthy and
+        adopts even at 12% gain."""
+        from sfm_tpu.reconstruction import global_init as gi
+
+        scene, table = scene_and_table
+        n = scene["R"].shape[0]
+        cfg = SfMConfig(global_init=GlobalInitConfig(
+            polish=True, polish_min_gain=0.2))
+        sfm = StructureFromMotion(table, scene["xy"], cfg)
+        sfm.registered[:] = True
+        sfm.reg_order = list(range(n))
+
+        def fake_polish(table_, K, num_images, rvec, tvec, registered, **kw):
+            p = np.asarray(table_.pairs[table_.accept], np.int32)
+            rel = {"pairs": p, "R": np.zeros((len(p), 3, 3), np.float32)}
+            return (rvec.copy(), tvec.copy(),
+                    np.asarray(registered, bool).copy(), rel)
+
+        seq = iter((0.10, 0.09))
+        monkeypatch.setattr(gi, "polish_poses", fake_polish)
+        monkeypatch.setattr(
+            gi, "pair_rotation_residuals",
+            lambda rv, pairs, R: np.full(len(pairs), next(seq), np.float32))
+        monkeypatch.setattr(sfm, "_triangulate", lambda **kw: 0)
+        monkeypatch.setattr(sfm, "bundle_adjust", lambda final=False: None)
+        monkeypatch.setattr(sfm, "prune_observations", lambda: None)
+        assert sfm.pose_graph_polish()
+        assert sfm._polish_stats["polish_applied"]
+        assert sfm._polish_stats["polish_pair_outlier_frac"] == 0.0
+
+    def test_rollback_restores_incremental_state(self, scene_and_table,
+                                                 monkeypatch):
+        """If the post-adoption rebuild keeps fewer than
+        polish_rollback_min_points of the incremental model's points, the
+        engine must restore the saved incremental state byte-for-byte —
+        polish is strictly non-degrading."""
+        from sfm_tpu.reconstruction import global_init as gi
+
+        scene, table = scene_and_table
+        n = scene["R"].shape[0]
+        cfg = SfMConfig(global_init=GlobalInitConfig(polish=True))
+        sfm = StructureFromMotion(table, scene["xy"], cfg)
+        sfm.registered[:] = True
+        sfm.reg_order = list(range(n))
+        # Fake a healthy incremental cloud of 200 points.
+        sfm.point_valid[:200] = True
+        sfm.points[:200] = 1.0
+        rvec_before = sfm.rvec.copy()
+        pv_before = sfm.point_valid.copy()
+
+        def fake_polish(table_, K, num_images, rvec, tvec, registered, **kw):
+            p = np.asarray(table_.pairs[table_.accept], np.int32)
+            rel = {"pairs": p, "R": np.zeros((len(p), 3, 3), np.float32)}
+            return (rvec + 0.01, tvec.copy(),
+                    np.asarray(registered, bool).copy(), rel)
+
+        monkeypatch.setattr(gi, "polish_poses", fake_polish)
+        monkeypatch.setattr(
+            gi, "pair_rotation_residuals",
+            lambda rv, pairs, R: np.full(len(pairs), 0.05, np.float32))
+
+        def bad_triangulate(**kw):
+            # Rebuild "collapses": keeps only 10 of 200 points.
+            sfm.point_valid[:] = False
+            sfm.point_valid[:10] = True
+            return 10
+
+        monkeypatch.setattr(sfm, "_triangulate", bad_triangulate)
+        monkeypatch.setattr(sfm, "bundle_adjust", lambda final=False: None)
+        monkeypatch.setattr(sfm, "prune_observations", lambda: None)
+        assert not sfm.pose_graph_polish()
+        assert sfm._polish_stats["polish_rolled_back"]
+        assert not sfm._polish_stats["polish_applied"]
+        np.testing.assert_array_equal(sfm.rvec, rvec_before)
+        np.testing.assert_array_equal(sfm.point_valid, pv_before)
+        assert sfm.registered.all()
+
 
 class TestPolishWiring:
     def test_run_reconstruction_invokes_polish(self, scene_and_table,
