@@ -233,7 +233,8 @@ def make_scene_corridor(rng, n_cams=1000, n_pts=30000, K_budget=512, D=128,
     return xy, desc, valid, Rs.astype(np.float32), ts.astype(np.float32)
 
 
-def corridor(n_cams, n_pts, mode="global", use_retrieval=False):
+def corridor(n_cams, n_pts, mode="global", use_retrieval=False,
+             local_window=0):
     """1000-image-class single-chip end-to-end: sparse corridor scene ->
     flat sweep over all C(N,2) pairs -> reconstruction (``mode`` picks the
     GLOBAL averaging path or the INCREMENTAL engine — the round-4 north-star
@@ -264,7 +265,7 @@ def corridor(n_cams, n_pts, mode="global", use_retrieval=False):
         ba=BAConfig(max_iterations=30 if glob else 15,
                     cg_iters=80 if glob else 40,
                     optimize_intrinsics=False, prune_multiplier=3.0,
-                    frequency=7),
+                    frequency=7, local_window=local_window),
         triangulation=TriangulationConfig(cadence=2),
         global_init=GlobalInitConfig(enabled=glob, polish=(mode == "polish")),
     )
@@ -434,7 +435,9 @@ if __name__ == "__main__":
     elif len(sys.argv) > 3 and sys.argv[3] == "globalfull":
         global_full(n, p)
     elif len(sys.argv) > 3 and sys.argv[3] == "corridor":
+        lw = [int(a[3:]) for a in sys.argv[5:] if a.startswith("lw=")]
         corridor(n, p, mode=sys.argv[4] if len(sys.argv) > 4 else "global",
-                 use_retrieval="retrieval" in sys.argv[5:])
+                 use_retrieval="retrieval" in sys.argv[5:],
+                 local_window=lw[0] if lw else 0)
     else:
         main(n, p)

@@ -392,17 +392,50 @@ class StructureFromMotion:
                 jnp.asarray(self.rvec), jnp.asarray(self.tvec),
                 jnp.asarray(self.registered), jnp.asarray(self._camera_matrix()),
             )
-            pts, ok = _triangulate_tracks(
-                jnp.asarray(self.tracks.view_img),
-                jnp.asarray(self.tracks.view_xy),
-                jnp.asarray(self.view_valid),
-                *pose_args,
-                jnp.asarray(active),
-                seed_pairs_on=(scope == "all"),
-                **common,
-            )
-            ok = np.asarray(ok)
-            pts = np.asarray(pts)
+            T = self.tracks.view_img.shape[0]
+            n_active = int(active.sum())
+            # Incremental cadence activates only the tracks grown since the
+            # last call (hundreds) while the table holds tens of thousands —
+            # a full-table dispatch pays capacity-shaped cost per call
+            # (corridor-1000, measured: 318 s of the incremental run was
+            # this stage, ~0.6 s x ~500 calls). Gather the active rows into
+            # ONE fixed-size row bucket (chunked when larger) and pay
+            # work-shaped cost instead; the full-table program still serves
+            # dense activations (global init's first pass).
+            B = 2048
+            if n_active + B <= T // 2:
+                idx = np.nonzero(active)[0]
+                pts = np.zeros((T, 3), np.float32)
+                ok = np.zeros(T, bool)
+                for c0 in range(0, len(idx), B):
+                    sub = idx[c0:c0 + B]
+                    idx_p = np.concatenate(
+                        [sub, np.zeros(B - len(sub), np.int64)])
+                    sub_active = np.zeros(B, bool)
+                    sub_active[: len(sub)] = True
+                    pts2, ok2 = _triangulate_tracks(
+                        jnp.asarray(self.tracks.view_img[idx_p]),
+                        jnp.asarray(self.tracks.view_xy[idx_p]),
+                        jnp.asarray(self.view_valid[idx_p]),
+                        *pose_args,
+                        jnp.asarray(sub_active),
+                        seed_pairs_on=(scope == "all"),
+                        **common,
+                    )
+                    pts[sub] = np.asarray(pts2)[: len(sub)]
+                    ok[sub] = np.asarray(ok2)[: len(sub)]
+            else:
+                pts, ok = _triangulate_tracks(
+                    jnp.asarray(self.tracks.view_img),
+                    jnp.asarray(self.tracks.view_xy),
+                    jnp.asarray(self.view_valid),
+                    *pose_args,
+                    jnp.asarray(active),
+                    seed_pairs_on=(scope == "all"),
+                    **common,
+                )
+                ok = np.asarray(ok)
+                pts = np.asarray(pts)
             if scope == "failed":
                 # Second dispatch over ONLY the tracks the joint DLT rejected:
                 # corridor-200 measured 297/300 failures 2-view recoverable,
@@ -783,6 +816,13 @@ class StructureFromMotion:
             # Windowed local BA: only the most recent k registrations move.
             fixed = self.reg_order[:-cfg.local_window]
             cam_fixed[fixed] = True
+            if len(fixed) > 0:
+                # RESTRICTED local BA: the problem itself shrinks to the
+                # window's tracks + the cameras observing them. Freezing
+                # cameras alone still assembled the full T x V table every
+                # periodic call — O(N^2) total observation work across a
+                # run (corridor-1000, measured: 533 s in this stage).
+                return self._bundle_adjust_local(cam_fixed)
         obs_ok_2d = (
             self.view_valid
             & self.registered[np.clip(self.tracks.view_img, 0, self.num_images - 1)]
@@ -829,6 +869,97 @@ class StructureFromMotion:
                 optimize_intrinsics=cfg.optimize_intrinsics,
             )
             self._unpack_ba(out, stats)
+        self.metrics.log("ba/rms_px", float(stats["rms_px"]), call=self._ba_calls)
+        if self.config.ba.prune_multiplier > 0:
+            self.prune_observations(
+                self.config.ba.prune_multiplier
+                * self.config.triangulation.max_reproj_error
+            )
+        return stats
+
+    def _bundle_adjust_local(self, cam_fixed: np.ndarray):
+        """Windowed local BA over a RESTRICTED problem (ba.local_window).
+
+        Problem scope: tracks observed by at least one moving (non-fixed
+        registered) camera, plus every registered camera observing those
+        tracks (the fixed ones anchor gauge and geometry). Cameras are
+        compacted to the involved set, points to the touched tracks, and
+        both are padded to buckets so the jitted LM program is reused as
+        the window slides. This is the standard local-BA recipe (COLMAP's
+        incremental mapper does the same): periodic cost scales with the
+        WINDOW, not the scene — the final full BA (and --polish) handle
+        global consistency.
+        """
+        cfg = self.config.ba
+        T, V = self.tracks.view_img.shape
+        cam_of = np.clip(self.tracks.view_img, 0, self.num_images - 1)
+        obs_ok_2d = (
+            self.view_valid
+            & self.registered[cam_of]
+            & self.point_valid[:, None]
+        )
+        moving = self.registered & ~cam_fixed
+        touched = (obs_ok_2d & moving[cam_of]).any(axis=1)
+        idx_t = np.nonzero(touched)[0]
+        if len(idx_t) == 0:
+            return None
+        # Involved cameras: any registered camera observing a touched track.
+        cam_involved = np.zeros(self.num_images, bool)
+        cam_involved[cam_of[idx_t][obs_ok_2d[idx_t]]] = True
+        cam_ids = np.nonzero(cam_involved)[0]
+        if not cam_fixed[cam_ids].any():
+            # Gauge: if no fixed camera made it into the subproblem (early
+            # runs where the window covers everything), anchor the oldest
+            # involved one.
+            for r in self.reg_order:
+                if cam_involved[r]:
+                    cam_fixed = cam_fixed.copy()
+                    cam_fixed[r] = True
+                    break
+        remap = np.zeros(self.num_images, np.int32)
+        remap[cam_ids] = np.arange(len(cam_ids), dtype=np.int32)
+
+        # Bucketed shapes: points to 2048-multiples, cameras to 64-multiples
+        # (obs count follows the point bucket x V), so the LM program
+        # compiles per bucket pair, not per call.
+        Pb = min(-(-len(idx_t) // 2048) * 2048, T)
+        Cb = min(-(-len(cam_ids) // 64) * 64, self.num_images)
+        with self._stage("assemble"):
+            sub = np.zeros(Pb, np.int64)
+            sub[: len(idx_t)] = idx_t
+            pv = np.zeros(Pb, bool)
+            pv[: len(idx_t)] = True
+            sub_img = cam_of[sub]                      # (Pb, V)
+            sub_ok = obs_ok_2d[sub] & pv[:, None]
+            obs_cam = remap[sub_img].reshape(-1)
+            obs_point = np.repeat(np.arange(Pb, dtype=np.int32), V)
+            obs_xy = self.tracks.view_xy[sub].reshape(-1, 2)
+            obs_valid = sub_ok.reshape(-1)
+            prob = build_problem(
+                rvec=self.rvec[cam_ids], tvec=self.tvec[cam_ids],
+                cam_valid=np.ones(len(cam_ids), bool),
+                intr=self.intr,
+                points=self.points[sub], point_valid=pv,
+                obs_cam=obs_cam, obs_point=obs_point, obs_xy=obs_xy,
+                obs_valid=obs_valid, cam_fixed=cam_fixed[cam_ids],
+                pad_cameras=Cb,
+            )
+        with self._stage("ba"):
+            out, stats = run_ba(
+                prob, cfg, optimize_intrinsics=cfg.optimize_intrinsics,
+            )
+            self._ba_calls += 1
+            logger.info(
+                "local BA #%d (%d cams, %d pts): cost %.1f -> %.1f "
+                "(%d its, rms %.3f px)",
+                self._ba_calls, len(cam_ids), len(idx_t),
+                float(stats["initial_cost"]), float(stats["final_cost"]),
+                int(stats["iterations"]), float(stats["rms_px"]),
+            )
+            self.rvec[cam_ids] = np.array(out.rvec)[: len(cam_ids)]
+            self.tvec[cam_ids] = np.array(out.tvec)[: len(cam_ids)]
+            self.intr = np.array(out.intr)
+            self.points[idx_t] = np.array(out.points)[: len(idx_t)]
         self.metrics.log("ba/rms_px", float(stats["rms_px"]), call=self._ba_calls)
         if self.config.ba.prune_multiplier > 0:
             self.prune_observations(
