@@ -93,15 +93,46 @@ def init_backend(max_tries=3, timeout_s=300, backoffs=(15, 60)):
 
 def emit_error_line(err):
     """On permanent failure the record is DATA, not a traceback: one
-    parseable JSON line (round-3 verdict weak #1 — BENCH_r03 parsed=null)."""
+    parseable JSON line (round-3 verdict weak #1 — BENCH_r03 parsed=null).
+    Any results completed before the failure ride along in "detail"."""
     print(json.dumps({
         "metric": "pairs_matched_per_sec",
-        "value": None,
+        "value": _PARTIAL.get("value"),
         "unit": "pairs/s",
-        "vs_baseline": None,
+        "vs_baseline": _PARTIAL.get("vs_baseline"),
         "error": str(err)[:500],
+        "stage": _PARTIAL.get("stage"),
+        "detail": _PARTIAL.get("detail"),
     }))
     sys.stdout.flush()
+
+
+# Stage/partial-result record for the deadline watchdog: if the tunnel hangs
+# MID-PROGRAM (observed 2026-08-20: backend init succeeded, then a trivial
+# matmul dispatch hung >240 s), the record still says how far we got and
+# carries the headline number when the sweep finished before the hang.
+_PARTIAL = {"stage": "start"}
+_DEADLINE_TIMER = None
+
+
+def start_deadline(seconds):
+    """Whole-run watchdog. init_backend's per-attempt watchdog cannot help
+    when the backend comes up and a later remote compile/dispatch hangs —
+    the only thread-level escape is a daemon timer that prints the JSON
+    record and hard-exits (the hung main thread can never unwind)."""
+    global _DEADLINE_TIMER
+    import threading
+
+    def _fire():
+        emit_error_line(
+            f"deadline_exceeded: no result after {seconds:.0f}s "
+            f"(hung at stage '{_PARTIAL.get('stage')}'; tunnel stuck mid-program)")
+        sys.stderr.flush()
+        os._exit(0)
+
+    _DEADLINE_TIMER = threading.Timer(seconds, _fire)
+    _DEADLINE_TIMER.daemon = True
+    _DEADLINE_TIMER.start()
 
 
 def get_features(cfg):
@@ -283,13 +314,19 @@ def matcher_mfu(k_list=(2048, 8192, 16384)):
 
 
 def main():
+    _PARTIAL["stage"] = "init_backend"
     init_backend()
+    if os.environ.get("SFM_BENCH_FORCE_HANG"):  # deadline-watchdog test hook
+        _PARTIAL["stage"] = "forced_hang"
+        while True:
+            time.sleep(3600)
     import jax
     import jax.numpy as jnp
     from sfm_tpu.config import SfMConfig
     from sfm_tpu.matching.sweep import _sweep_chunk_fn, candidate_pairs
 
     cfg = SfMConfig()
+    _PARTIAL["stage"] = "detect_features"
     xy, desc, valid = get_features(cfg)
     n = xy.shape[0]
     pairs = candidate_pairs(n)
@@ -304,6 +341,7 @@ def main():
     desc_d = jnp.asarray(desc)
     valid_d = jnp.asarray(valid)
     fn = jax.jit(_sweep_chunk_fn(cfg))
+    _PARTIAL["stage"] = "sweep_compile"
 
     # Warmup / compile. NOTE: block_until_ready does NOT block over the
     # axon tunnel (measured); the only reliable sync is a scalar transfer.
@@ -313,6 +351,7 @@ def main():
         out = fn(keys[c0:c0 + chunk], jnp.asarray(pairs_p[c0:c0 + chunk]),
                  xy_d, desc_d, valid_d)
     float(jnp.sum(out["num_inliers"]))
+    _PARTIAL["stage"] = "sweep_timed"
 
     # Timed sweep over all pairs; outputs stay on device, synced by reducing
     # every chunk to one scalar transferred inside the timed region.
@@ -340,18 +379,32 @@ def main():
 
     accepted = int(np.sum(np.concatenate([np.asarray(o["accept"]) for o in outs])[:P]))
 
-    det_dev, det_up = bench_detect()
-    orb_dev, orb_up = bench_detect(kind="orb")
-    ba_ips, ba_rms = bench_ba()
-    # The scalable (PCG) path at the regime large scenes actually use —
-    # driver-tracked so regressions there are visible (round-2 verdict #5).
-    ba256_ips, ba256_rms = bench_ba(n_cams=256, n_pts=20000, obs_per_cam=1500, force_pcg=True)
-
     baseline_file = ROOT / "BASELINE_MEASURED.json"
     if baseline_file.exists():
         base = json.loads(baseline_file.read_text())["pairs_per_sec"]
     else:
         base = float("nan")
+    # Headline number is banked: if a later sub-bench hangs the tunnel, the
+    # deadline record still carries it.
+    _PARTIAL["value"] = round(pairs_per_sec, 2)
+    if base == base:
+        _PARTIAL["vs_baseline"] = round(pairs_per_sec / base, 2)
+    _PARTIAL["detail"] = {"pairs": int(P), "sweep_s": round(dt, 3),
+                          "accepted_pairs": accepted}
+
+    _PARTIAL["stage"] = "bench_detect_sift"
+    det_dev, det_up = bench_detect()
+    _PARTIAL["stage"] = "bench_detect_orb"
+    orb_dev, orb_up = bench_detect(kind="orb")
+    _PARTIAL["stage"] = "bench_ba100"
+    ba_ips, ba_rms = bench_ba()
+    # The scalable (PCG) path at the regime large scenes actually use —
+    # driver-tracked so regressions there are visible (round-2 verdict #5).
+    _PARTIAL["stage"] = "bench_ba256"
+    ba256_ips, ba256_rms = bench_ba(n_cams=256, n_pts=20000, obs_per_cam=1500, force_pcg=True)
+    _PARTIAL["stage"] = "report"
+    if _DEADLINE_TIMER is not None:  # all results in hand: no more hang risk
+        _DEADLINE_TIMER.cancel()
     print(
         json.dumps(
             {
@@ -384,12 +437,15 @@ def main():
 
 
 if __name__ == "__main__":
+    start_deadline(float(os.environ.get("SFM_BENCH_DEADLINE_S", 2400)))
     try:
         if "--matcher-mfu" in sys.argv:
             init_backend()
             matcher_mfu()
         else:
             main()
+        if _DEADLINE_TIMER is not None:
+            _DEADLINE_TIMER.cancel()
     except BaseException as e:  # noqa: BLE001 — the record must be JSON
         if isinstance(e, KeyboardInterrupt):
             raise

@@ -47,6 +47,30 @@ def test_simulated_outage_subprocess_rc0_json():
     assert rec["value"] is None and "backend_unavailable" in rec["error"]
 
 
+def test_midprogram_hang_hits_deadline_and_emits_json():
+    """Backend init can SUCCEED and a later remote compile/dispatch hang
+    (observed 2026-08-20: a trivial matmul stuck >240 s after a clean
+    jax.devices()). The whole-run deadline watchdog must then print one
+    parseable JSON line naming the hung stage and exit 0 — the per-attempt
+    init watchdog cannot reach this failure mode."""
+    env = {"PATH": "/usr/bin:/bin", "HOME": "/root",
+           "JAX_PLATFORMS": "cpu",  # init succeeds instantly off-tunnel
+           "SFM_BENCH_FORCE_HANG": "1",
+           "SFM_BENCH_DEADLINE_S": "8"}
+    p = subprocess.run(
+        [sys.executable, str(ROOT / "bench.py")],
+        capture_output=True, text=True, timeout=120, env=env,
+    )
+    assert p.returncode == 0, p.stderr[-2000:]
+    rec = json.loads(p.stdout.strip().splitlines()[-1])
+    assert rec["value"] is None
+    assert "deadline_exceeded" in rec["error"]
+    # Under heavy CPU load the deadline can legitimately fire while the jax
+    # import inside init_backend is still running — both stages prove the
+    # watchdog escapes a hung main thread.
+    assert rec["stage"] in ("forced_hang", "init_backend")
+
+
 def test_feats_cache_key_tracks_config_and_source(tmp_path, monkeypatch):
     from sfm_tpu.config import SfMConfig, FeatureConfig
     import dataclasses
