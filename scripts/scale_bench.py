@@ -7,6 +7,7 @@ wall-clock against the north-star target (<60 s for 100 images, <1 px).
 
 Usage: python scripts/scale_bench.py [n_cams] [n_pts]
 """
+import os
 import sys
 import time
 from pathlib import Path
@@ -170,7 +171,8 @@ def ring_sweep(n_cams, n_pts):
 
 
 def make_scene_corridor(rng, n_cams=1000, n_pts=30000, K_budget=512, D=128,
-                        noise_px=0.4, window=6.0):
+                        noise_px=0.4, window=6.0, desc_noise=0.03,
+                        repeat_frac=0.0, repeat_pool=64):
     """Trajectory scene with LOCAL visibility — the realistic sparse regime.
 
     Cameras travel along a corridor wall and only see points within
@@ -179,6 +181,15 @@ def make_scene_corridor(rng, n_cams=1000, n_pts=30000, K_budget=512, D=128,
     C(N,2) candidates (the ring scene's 80%-accept is pathological).
     Fully vectorized numpy (no per-camera device dispatches): generation is
     seconds, not ~1 s/camera like make_scene.
+
+    Degradation knobs (round-4 verdict weak #2 — retrieval/gate tuning had
+    only ever seen desc_noise=0.03 and zero repeated texture):
+      desc_noise   per-observation descriptor noise sigma (0.03 = idealized;
+                   0.3+ approaches real SIFT's ~0.5 typical same-point
+                   distance on unit-norm descriptors)
+      repeat_frac  fraction of points whose descriptor is drawn from a
+                   small shared pool (repeated texture: windows, bricks) —
+                   these points match ACROSS the scene, not just locally
     """
     cam = CameraConfig()
     Kmat = cam.K().astype(np.float64)
@@ -191,6 +202,11 @@ def make_scene_corridor(rng, n_cams=1000, n_pts=30000, K_budget=512, D=128,
     ], 1)
     desc_gt = rng.normal(size=(n_pts, D))
     desc_gt /= np.linalg.norm(desc_gt, axis=1, keepdims=True)
+    if repeat_frac > 0:
+        pool = rng.normal(size=(repeat_pool, D))
+        pool /= np.linalg.norm(pool, axis=1, keepdims=True)
+        rep = rng.random(n_pts) < repeat_frac
+        desc_gt[rep] = pool[rng.integers(0, repeat_pool, int(rep.sum()))]
 
     # Camera c at x = c*L/n, z = 0, looking down +z at the wall, with a
     # gentle yaw wobble so rotations are non-trivial.
@@ -227,7 +243,7 @@ def make_scene_corridor(rng, n_cams=1000, n_pts=30000, K_budget=512, D=128,
         vis = vis[:K_budget]
         k = len(vis)
         xy[c, :k] = uv[vis] + rng.normal(scale=noise_px, size=(k, 2))
-        d = desc_s[lo:hi][vis] + 0.03 * rng.normal(size=(k, D))
+        d = desc_s[lo:hi][vis] + desc_noise * rng.normal(size=(k, D))
         desc[c, :k] = d / np.linalg.norm(d, axis=1, keepdims=True)
         valid[c, :k] = True
     return xy, desc, valid, Rs.astype(np.float32), ts.astype(np.float32)
@@ -279,7 +295,11 @@ def corridor(n_cams, n_pts, mode="global", use_retrieval=False,
     sweep_cache = Path("/tmp/corridor_sweep_%d_%d%s_%s.pkl" % (
         n_cams, n_pts, tag, _cfg_tag(cfg.matching, cfg.verify, rcfg)))
     cold_from_cache = sweep_cache.exists()
-    for rep in ("cold", "warm"):
+    # SFM_CORRIDOR_REPS=1 runs the cold pass only: on the CPU backend a
+    # 1000-camera incremental rep is hours, and the warm rep measures
+    # compile amortization that CPU runs don't need evidence for.
+    reps = ("cold", "warm")[: int(os.environ.get("SFM_CORRIDOR_REPS", "2"))]
+    for rep in reps:
         if rep == "cold" and sweep_cache.exists():
             with open(sweep_cache, "rb") as f:
                 blob = pickle.load(f)

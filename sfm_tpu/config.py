@@ -108,6 +108,18 @@ class RetrievalConfig:
                                        # image connectable regardless of score)
     ratio_threshold: float = 0.75      # Lowe ratio for the mini-match
     chunk_size: int = 1024             # pairs per scoring dispatch
+    adaptive: bool = True              # calibrate the bar per image from its
+                                       # top_k-th incident score: bar_i =
+                                       # clip(beta*s_k(i), floor, min_score).
+                                       # Can only RELAX min_score, so clean
+                                       # scenes select identically; noisy
+                                       # scenes (score distribution shifted
+                                       # down wholesale) keep their true
+                                       # neighbors (recall-vs-noise A/B in
+                                       # PROGRESS.md round 5)
+    adaptive_beta: float = 0.5         # fraction of s_k(i) a pair must reach
+    min_score_floor: int = 3           # absolute floor: 1-2 mini-matches is
+                                       # indistinguishable from noise
 
 
 @dataclasses.dataclass(frozen=True)

@@ -30,6 +30,25 @@ def test_simulated_outage_emits_json_error_line(monkeypatch, capsys):
     assert rec["metric"] == "pairs_matched_per_sec"
     assert rec["value"] is None
     assert "backend_unavailable" in rec["error"]
+    # Explicit failure discriminator (round-4 advisor): success must never be
+    # inferable from value alone, because a banked partial headline rides in
+    # error records too.
+    assert rec["ok"] is False and rec["partial"] is False
+
+
+def test_error_record_with_banked_value_is_marked_partial(capsys):
+    """A sweep that finished before a later sub-bench hang carries its
+    headline number — flagged partial, never mistakable for success."""
+    bench._PARTIAL.update({"stage": "bench_ba100", "value": 1234.5,
+                           "vs_baseline": 9.9})
+    try:
+        bench.emit_error_line(RuntimeError("tunnel hang"))
+        rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rec["value"] == 1234.5
+        assert rec["ok"] is False and rec["partial"] is True
+    finally:
+        bench._PARTIAL.clear()
+        bench._PARTIAL["stage"] = "start"
 
 
 def test_simulated_outage_subprocess_rc0_json():

@@ -188,3 +188,59 @@ class TestEndToEnd:
         cfg = SfMConfig(retrieval=RetrievalConfig(mode="on", subsample=128))
         back = SfMConfig.from_json(cfg.to_json())
         assert back.retrieval == cfg.retrieval
+
+
+class TestAdaptiveThreshold:
+    """Per-image calibrated selection (select_pairs_adaptive): can only
+    RELAX the fixed min_score, so the fixed rule's keep set is always a
+    subset; under wholesale score depression (realistic descriptor noise)
+    it recovers the true neighbors the fixed bar drops."""
+
+    def test_superset_of_fixed_rule(self, corridor):
+        from sfm_tpu.matching.retrieval import select_pairs_adaptive
+
+        _, desc, valid = corridor
+        n = desc.shape[0]
+        pairs = candidate_pairs(n)
+        cfg = RetrievalConfig()
+        scores = retrieval_scores(desc, valid, pairs, cfg)
+        fixed = select_pairs_from_scores(scores, pairs, n, cfg.min_score, cfg.top_k)
+        adaptive, thr = select_pairs_adaptive(scores, pairs, n, cfg)
+        assert (adaptive | fixed == adaptive).all()
+        assert cfg.min_score_floor <= thr <= cfg.min_score
+
+    def test_recovers_depressed_scores(self):
+        """Simulate the noisy regime directly in score space: true neighbor
+        pairs score 4-6 (below the fixed min_score=8), junk scores 0-1.
+        The fixed rule keeps only the top_k floor; adaptive keeps ALL true
+        neighbors because each image's bar calibrates to ~0.5 * s_k."""
+        from sfm_tpu.matching.retrieval import select_pairs_adaptive
+
+        rng = np.random.default_rng(0)
+        n = 40
+        pairs = candidate_pairs(n)
+        d = np.abs(pairs[:, 0] - pairs[:, 1])
+        true = d <= 6
+        scores = np.where(true, rng.integers(4, 7, len(pairs)),
+                          rng.integers(0, 2, len(pairs))).astype(np.int32)
+        cfg = RetrievalConfig(top_k=3)  # floor alone cannot cover 6 neighbors
+        fixed = select_pairs_from_scores(scores, pairs, n, cfg.min_score, cfg.top_k)
+        adaptive, thr = select_pairs_adaptive(scores, pairs, n, cfg)
+        fixed_recall = fixed[true].mean()
+        adaptive_recall = adaptive[true].mean()
+        assert fixed_recall < 0.8          # the failure mode being fixed
+        assert adaptive_recall == 1.0, adaptive_recall
+        # ... without devolving into keep-everything:
+        assert adaptive[~true].mean() < 0.1
+
+    def test_clean_scene_keeps_selectivity(self, corridor):
+        """On the idealized scene the adaptive rule must not blow up the
+        kept fraction (bars clamp at min_score; junk sits below the floor)."""
+        _, desc, valid = corridor
+        n = desc.shape[0]
+        kept_f, stats_f = select_candidate_pairs(
+            desc, valid, n, RetrievalConfig(adaptive=False))
+        kept_a, stats_a = select_candidate_pairs(
+            desc, valid, n, RetrievalConfig(adaptive=True))
+        assert stats_a["kept"] >= stats_f["kept"]
+        assert stats_a["keep_frac"] <= 1.6 * max(stats_f["keep_frac"], 0.01)
