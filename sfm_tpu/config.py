@@ -38,6 +38,15 @@ class FeatureConfig:
                                        # (features/binary.py docstring).
     fast_threshold: float = 20.0       # FAST ring contrast gate, u8 scale
                                        # (kind="orb"; ref find_matches.py:100)
+    orb_levels: int = 3                # binary-path pyramid levels (cv2 ORB
+                                       # nlevels mechanism; the reference's
+                                       # compute-on-FAST path is effectively
+                                       # single-scale — 1 reproduces it).
+                                       # 3 levels close the scale gap that
+                                       # left bunny image 0 unmatchable
+                                       # (round-5 A/B in PROGRESS.md)
+    orb_scale_factor: float = 1.35     # pyramid downscale per level (covers
+                                       # 1.8x scale change at 3 levels)
     max_keypoints: int = 2048          # fixed per-image budget (padded + masked)
     num_octaves: int = 4
     scales_per_octave: int = 3
@@ -194,14 +203,22 @@ class PnPConfig:
                                        # track, COLMAP-style)
     guided_pool: int = 8192            # model-descriptor budget (up to 2
                                        # observations per triangulated track)
-    guided_min_inlier_ratio: float = 0.3  # consensus fraction of the guided
-                                       # 2D-3D pool required to accept. Lower
-                                       # than min_inlier_ratio: the pool is
-                                       # ratio-test-filtered model matches
-                                       # where rescue targets legitimately
-                                       # sit near ~0.4 (bunny image 0:
-                                       # 29-30/75) - BA + pruning contain
-                                       # the residual risk
+    guided_min_inlier_ratio: float = 0.15  # consensus-fraction leg of the
+                                       # guided acceptance gate: required
+                                       # inliers = max(guided_min_inliers,
+                                       # ratio * pool). Was a lone 0.3 —
+                                       # which scales the bar with pool
+                                       # size, so a richer (multi-scale)
+                                       # match pool RAISED the bar and
+                                       # rejected correct rescues. Round-5
+                                       # GT-calib measurement: garbage
+                                       # guided poses (50-84 deg wrong) sat
+                                       # at 5-9 inliers / 6-21% consensus;
+                                       # genuine ones at 32-46 / 30-40% —
+                                       # max(20, 0.15*pool) separates them
+                                       # with >2x margin on both legs
+    guided_min_inliers: int = 20       # absolute-count leg of the guided
+                                       # acceptance gate (see above)
     guided_iters: int = 8192           # RANSAC budget for guided PnP: rescue
                                        # targets sit at ~0.3-0.4 inlier
                                        # ratio; with P3P samples (rho^3 per

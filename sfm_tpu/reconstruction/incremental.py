@@ -707,7 +707,13 @@ class StructureFromMotion:
                 sample_size=cfg.sample_size,
             )
             n_inl = int(out["num_inliers"])
-            if not (bool(out["ok"]) and n_inl >= cfg.guided_min_inlier_ratio * mm):
+            # Two-leg acceptance: an absolute count AND a consensus fraction.
+            # A lone fraction scales with pool size, so richer match pools
+            # (multi-scale binary) raised the bar on exactly the cameras
+            # rescue exists for; a lone count admits chance-consistent sets
+            # (GT-measured: 9-inlier "ok" poses were 50-84 deg wrong).
+            need = max(cfg.guided_min_inliers, cfg.guided_min_inlier_ratio * mm)
+            if not (bool(out["ok"]) and n_inl >= need):
                 return False
             inl = np.asarray(out["inliers"])[:mm]
         self.rvec[img] = np.asarray(out["rvec"])

@@ -86,7 +86,7 @@ class TestFast:
     def test_square_corners_detected(self):
         img = np.zeros((120, 160), np.float32)
         img[40:80, 50:110] = 1.0
-        f = detect_and_describe(img, config=FeatureConfig(kind="orb"))
+        f = detect_and_describe(img, config=FeatureConfig(kind="orb", orb_levels=1))
         v = np.asarray(f.valid)
         assert v.sum() == 4
         got = {tuple(p) for p in np.asarray(f.xy)[v].astype(int).tolist()}
@@ -102,7 +102,7 @@ class TestFast:
         img[40:80, 50:110] = 1.0
         mask = np.zeros((120, 160), bool)
         mask[:, :80] = True  # keep only the two left corners
-        f = detect_and_describe(img, mask=mask, config=FeatureConfig(kind="orb"))
+        f = detect_and_describe(img, mask=mask, config=FeatureConfig(kind="orb", orb_levels=1))
         v = np.asarray(f.valid)
         assert v.sum() == 2
         assert (np.asarray(f.xy)[v][:, 0] < 80).all()
@@ -138,7 +138,7 @@ class TestDescriptor:
         img = _texture()
         h, w = img.shape
         img2 = np.rot90(img)  # img2[y', x'] with x'=y, y'=w-1-x
-        cfg = FeatureConfig(kind="orb")
+        cfg = FeatureConfig(kind="orb", orb_levels=1)
         f1 = detect_and_describe(img, config=cfg)
         f2 = detect_and_describe(img2, config=cfg)
         v1, v2 = np.asarray(f1.valid), np.asarray(f2.valid)
@@ -172,7 +172,7 @@ class TestDescriptor:
         from sfm_tpu.features.pyramid import gaussian_blur_mm
 
         img = _texture(160, 180, seed=9)
-        cfg = FeatureConfig(kind="orb")
+        cfg = FeatureConfig(kind="orb", orb_levels=1)
         f = detect_and_describe(img, config=cfg)
         v = np.asarray(f.valid)
         xy = np.asarray(f.xy)[v].astype(int)
@@ -388,8 +388,67 @@ class TestKnobs:
         img[40:80, 50:110] = 1.0
         mask = np.zeros((120, 160), bool)
         mask[:, :49] = True  # corners at x=50 sit JUST outside
-        f0 = detect_and_describe(img, mask=mask, config=FeatureConfig(kind="orb"))
+        f0 = detect_and_describe(img, mask=mask, config=FeatureConfig(
+            kind="orb", orb_levels=1))
         f2 = detect_and_describe(img, mask=mask, config=FeatureConfig(
-            kind="orb", mask_dilate=2))
+            kind="orb", mask_dilate=2, orb_levels=1))
         assert np.asarray(f0.valid).sum() == 0
         assert np.asarray(f2.valid).sum() == 2
+
+
+class TestMultiScale:
+    """Binary-path pyramid (FeatureConfig.orb_levels > 1): merged fixed-K
+    table stays response-ordered; descriptors bridge a scale change that
+    single-scale binary cannot (the bunny-image-0 failure mode)."""
+
+    def test_budgets_superset_and_decrease(self):
+        """Level 0 keeps the full base budget (splitting it starved the
+        pairwise sweep — binary._level_budgets docstring); upper levels add
+        progressively smaller extras."""
+        b = binary._level_budgets(2048, 3, 1.35)
+        assert b[0] == 2048
+        assert b[0] > b[1] > b[2] > 0
+        assert all(x % 8 == 0 for x in b[1:])
+
+    def test_merged_table_is_response_ordered(self):
+        f = detect_and_describe(_texture(), config=FeatureConfig(
+            kind="orb", orb_levels=3))
+        v = np.asarray(f.valid)
+        r = np.asarray(f.response)[v]
+        assert (np.diff(r) <= 1e-6).all()
+        assert v.sum() > 0
+
+    def test_scale_bridging_match(self):
+        """Detect on a texture and on its 1.5x-downscaled version; mutual
+        ratio matching must link them far above chance ONLY when the pyramid
+        is on — the property that registers wide-baseline cameras."""
+        import jax.numpy as jnp
+        from sfm_tpu.matching.core import _match_descriptors
+        from sfm_tpu.config import map_ratio_for_kind
+
+        img = _texture(240, 300, seed=11)
+        h, w = img.shape
+        import jax
+
+        small = np.asarray(jax.image.resize(
+            jnp.asarray(img), (int(h / 1.5), int(w / 1.5)), "linear"))
+
+        def n_matches(levels):
+            cfg = FeatureConfig(kind="orb", orb_levels=levels)
+            f1 = detect_and_describe(img, config=cfg)
+            f2 = detect_and_describe(small.astype(np.float32), config=cfg)
+            r = map_ratio_for_kind(0.75, "orb")
+            out = _match_descriptors(
+                jnp.asarray(f1.desc, jnp.float32), jnp.asarray(f1.valid),
+                jnp.asarray(f2.desc, jnp.float32), jnp.asarray(f2.valid),
+                max_matches=512, ratio_threshold=r)
+            m = np.asarray(out["valid"])
+            # count valid matches with geometric consistency: mapped coords
+            xy1 = np.asarray(f1.xy)[np.asarray(out["idx1"])[m]]
+            xy2 = np.asarray(f2.xy)[np.asarray(out["idx2"])[m]]
+            err = np.abs(xy1 / 1.5 - xy2).max(1)
+            return int((err < 3.0).sum())
+
+        n1 = n_matches(1)
+        n3 = n_matches(3)
+        assert n3 >= max(2 * n1, 20), (n1, n3)
