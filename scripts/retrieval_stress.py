@@ -85,14 +85,21 @@ def main(n_cams=200, n_pts=8000):
     cfg = SfMConfig(matching=MatchConfig(max_matches=512),
                     verify=VerifyConfig(ransac_iters=1024))
     rcfg = RetrievalConfig(mode="on")
+    # desc_noise is PER-COMPONENT sigma: same-point descriptor distance is
+    # ~16*sigma, chance (inter-point) distance ~1.41 — so 0.09 is the
+    # matching-impossible ceiling and 0.05-0.08 is the degradation band
+    # (first sweep of this harness used 0.15-0.45 and found the exhaustive
+    # sweep itself accepts zero pairs there: that measured the ceiling, not
+    # retrieval).
     for desc_noise, repeat_frac in [
         (0.03, 0.0),   # the idealized regime every prior number used
-        (0.15, 0.0),
-        (0.30, 0.0),   # ~real SIFT same-point distance scale
-        (0.45, 0.0),
+        (0.05, 0.0),
+        (0.06, 0.0),
+        (0.07, 0.0),
+        (0.08, 0.0),
         (0.03, 0.25),  # quarter of the texture repeats across the scene
-        (0.30, 0.25),  # both degradations at once
-        (0.30, 0.50),
+        (0.06, 0.25),  # both degradations at once
+        (0.06, 0.50),
     ]:
         out = run_config(n_cams, n_pts, desc_noise, repeat_frac, cfg, rcfg)
         print("CURVE " + json.dumps(out), flush=True)

@@ -184,9 +184,12 @@ def make_scene_corridor(rng, n_cams=1000, n_pts=30000, K_budget=512, D=128,
 
     Degradation knobs (round-4 verdict weak #2 — retrieval/gate tuning had
     only ever seen desc_noise=0.03 and zero repeated texture):
-      desc_noise   per-observation descriptor noise sigma (0.03 = idealized;
-                   0.3+ approaches real SIFT's ~0.5 typical same-point
-                   distance on unit-norm descriptors)
+      desc_noise   PER-COMPONENT noise sigma on the D=128 unit descriptor;
+                   total noise norm ~ sigma*sqrt(D), so same-point distance
+                   ~ sigma*sqrt(2D) = 16*sigma. 0.03 -> 0.48 same-point
+                   distance (clean SIFT regime); 0.06 -> 0.96 (hard);
+                   0.09 -> 1.44 = the ~1.41 typical inter-point distance,
+                   i.e. chance level — matching is impossible beyond it
       repeat_frac  fraction of points whose descriptor is drawn from a
                    small shared pool (repeated texture: windows, bricks) —
                    these points match ACROSS the scene, not just locally
