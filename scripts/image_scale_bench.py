@@ -37,7 +37,7 @@ def dataset(n):
     return render_dataset(f"/tmp/pixel_corridor_{n}", n, log=log)
 
 
-def full(n, mode="global", kind="sift"):
+def full(n, mode="global", kind="sift", fast_threshold=None):
     from sfm_tpu.config import (SfMConfig, FeatureConfig, MatchConfig,
                                 VerifyConfig, BAConfig, TriangulationConfig,
                                 GlobalInitConfig, RetrievalConfig)
@@ -45,8 +45,14 @@ def full(n, mode="global", kind="sift"):
 
     data = dataset(n)
     glob = mode == "global"
+    # The rendered textures are lower-contrast than bunny photos; the
+    # binary path's absolute FAST contrast gate (reference parity: 20/255)
+    # needs lowering here or the pair graph starves (measured at 200 imgs:
+    # thr=20 -> 118 accepted pairs = garbage averaging input; thr=10 ->
+    # 1,237 accepted). SIFT's normalized DoG gate needs no such tuning.
+    fkw = {} if fast_threshold is None else {"fast_threshold": fast_threshold}
     cfg = SfMConfig(
-        features=FeatureConfig(kind=kind),
+        features=FeatureConfig(kind=kind, **fkw),
         matching=MatchConfig(max_matches=512),
         verify=VerifyConfig(ransac_iters=1024),
         ba=BAConfig(max_iterations=30 if glob else 15,
@@ -153,4 +159,5 @@ if __name__ == "__main__":
         recall(n, kind=rest[1] if len(rest) > 1 else "sift")
     else:
         full(n, mode=rest[0] if rest else "global",
-             kind=rest[1] if len(rest) > 1 else "sift")
+             kind=rest[1] if len(rest) > 1 else "sift",
+             fast_threshold=float(rest[2]) if len(rest) > 2 else None)

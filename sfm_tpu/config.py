@@ -428,6 +428,25 @@ class GlobalInitConfig:
                                        # (reprojection error is blind to
                                        # metric warps — bunny: 0.33 px at
                                        # 34%-of-scene ATE)
+    min_edges_per_camera: float = 1.0  # pre-check: a pair graph with fewer
+                                       # than ~N edges cannot even be
+                                       # connected — one-shot averaging on
+                                       # it returns confidently-wrong poses
+                                       # (pixel-200 ORB, measured: 118 edges
+                                       # / 200 cams "placed" 176 cameras at
+                                       # 162 deg median GT error). Below
+                                       # this the router runs the
+                                       # incremental engine instead, which
+                                       # registers only what the graph
+                                       # actually supports
+    fallback_outlier_frac: float = 0.3 # post-check on the same diagnostic
+                                       # consistency_warn_deg warns about:
+                                       # above this fraction the one-shot
+                                       # global model grossly disagrees
+                                       # with its own pair measurements, so
+                                       # the router discards it and reruns
+                                       # incrementally (honest partial
+                                       # model > confident garbage)
 
 
 @dataclasses.dataclass(frozen=True)

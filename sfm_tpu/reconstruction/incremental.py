@@ -319,6 +319,27 @@ class StructureFromMotion:
 
     # ------------------------------------------------------------------ utils
 
+    def _reset_state(self):
+        """Fresh run-state (poses, points, track extensions) on the same
+        pair table/features: lets the router discard a failed one-shot
+        global model and rerun the incremental engine on this instance.
+        Tracks are rebuilt because a global run's guided sweep may have
+        extended them with observations of the discarded model."""
+        self.tracks = build_tracks(self.table, self.xy, self.num_images)
+        C = self.num_images
+        T = max(self.tracks.num_tracks, 1)
+        self.rvec = np.zeros((C, 3), np.float32)
+        self.tvec = np.zeros((C, 3), np.float32)
+        self.registered = np.zeros(C, bool)
+        self.reg_order = []
+        self.points = np.zeros((T, 3), np.float32)
+        self.point_valid = np.zeros(T, bool)
+        self.view_valid = self.tracks.view_img >= 0
+        self.intr = np.array(
+            [self.config.camera.fx, self.config.camera.fy,
+             self.config.camera.cx, self.config.camera.cy], np.float32)
+        self._ba_calls = 0
+
     @contextlib.contextmanager
     def _stage(self, name: str):
         """Engine stage timing through the observability sink: wall-clock into
@@ -1321,12 +1342,37 @@ class StructureFromMotion:
         """
         if self.config.global_init.enabled and not self.reg_order:
             wants_limit = num_images is not None and num_images < self.num_images
-            if not wants_limit and not checkpoint_dir:
-                return self.run_global_reconstruction()
-            logger.warning(
-                "global_init.enabled but num_images/checkpointing requested: "
-                "falling back to the incremental path (global reconstruction "
-                "is one-shot and supports neither)")
+            gcfg = self.config.global_init
+            n_edges = len(self.table.accepted())
+            min_edges = gcfg.min_edges_per_camera * self.num_images
+            if n_edges < min_edges:
+                # One-shot averaging on a graph too sparse to be connected
+                # returns confidently-wrong poses (config.py
+                # min_edges_per_camera); the incremental engine registers
+                # only what the graph supports.
+                logger.warning(
+                    "global_init: pair graph has %d edges for %d cameras "
+                    "(< %.0f): too sparse for one-shot averaging — using "
+                    "the incremental path", n_edges, self.num_images, min_edges)
+            elif not wants_limit and not checkpoint_dir:
+                result = self.run_global_reconstruction()
+                frac = result.stats.get("global_pair_outlier_frac", 0.0)
+                if frac <= gcfg.fallback_outlier_frac:
+                    return result
+                # The model disagrees with its own pair measurements: an
+                # averaging-hostile graph slipped past the pre-check.
+                # Honest partial model > confident garbage.
+                logger.error(
+                    "global model inconsistent with %.0f%% of its pair "
+                    "measurements (> %.0f%% fallback threshold): discarding "
+                    "it and rerunning incrementally",
+                    100 * frac, 100 * gcfg.fallback_outlier_frac)
+                self._reset_state()
+            else:
+                logger.warning(
+                    "global_init.enabled but num_images/checkpointing "
+                    "requested: falling back to the incremental path (global "
+                    "reconstruction is one-shot and supports neither)")
         t_start = time.time()
         limit = num_images or self.num_images
         if not self.reg_order:  # fresh run (vs resumed from checkpoint)

@@ -297,14 +297,106 @@ class TestEntryPointRouting:
         sfm = StructureFromMotion(table, xy, cfg)
         called = {}
 
+        class _Res:
+            stats = {"global_pair_outlier_frac": 0.0}
+
         def fake_global(self):
             called["global"] = True
-            return "sentinel"
+            return _Res()
 
         monkeypatch.setattr(StructureFromMotion, "run_global_reconstruction",
                             fake_global)
-        assert sfm.run_reconstruction() == "sentinel"
+        assert isinstance(sfm.run_reconstruction(), _Res)
         assert called.get("global")
+
+    def test_sparse_graph_precheck_routes_incremental(self, monkeypatch, rng):
+        """A pair graph with fewer edges than cameras cannot be connected;
+        one-shot averaging on it returns confidently-wrong poses (pixel-200
+        ORB, measured: 118 edges / 200 cams -> 162 deg median GT error).
+        The router must use the incremental engine instead."""
+        from sfm_tpu.matching.sweep import PairTable
+
+        n, K, P = 5, 4, 3  # 3 edges < 5 cameras
+        table = PairTable(
+            pairs=np.array([[0, 1], [1, 2], [2, 3]], np.int32),
+            accept=np.ones(P, bool),
+            num_matches=np.full(P, 4, np.int32),
+            num_inliers=np.full(P, 4, np.int32),
+            inlier_ratio=np.ones(P, np.float32),
+            reprojection_error=np.zeros(P, np.float32),
+            well_distributed=np.ones(P, bool),
+            F=np.tile(np.eye(3, dtype=np.float32), (P, 1, 1)),
+            xy1=np.zeros((P, 4, 2), np.float32),
+            xy2=np.zeros((P, 4, 2), np.float32),
+            idx1=np.tile(np.arange(4, dtype=np.int32), (P, 1)),
+            idx2=np.tile(np.arange(4, dtype=np.int32), (P, 1)),
+            match_valid=np.ones((P, 4), bool),
+            inliers=np.ones((P, 4), bool),
+        )
+        xy = rng.uniform(0, 100, (n, K, 2)).astype(np.float32)
+        cfg = SfMConfig(global_init=GlobalInitConfig(enabled=True))
+        sfm = StructureFromMotion(table, xy, cfg)
+
+        def fail_global(self):
+            raise AssertionError("global path must not run on a sparse graph")
+
+        monkeypatch.setattr(StructureFromMotion, "run_global_reconstruction",
+                            fail_global)
+        # The incremental run on this degenerate table may register few or
+        # no cameras — the contract under test is routing, not quality.
+        try:
+            sfm.run_reconstruction()
+        except AssertionError:
+            raise
+        except Exception:
+            pass
+
+    def test_inconsistent_global_model_falls_back(self, monkeypatch, rng):
+        """When the one-shot global model disagrees with > fallback_outlier
+        _frac of its own pair measurements, the router must discard it,
+        reset state, and rerun incrementally."""
+        from sfm_tpu.matching.sweep import PairTable
+
+        n, K = 3, 4
+        P = 3
+        table = PairTable(
+            pairs=np.array([[0, 1], [0, 2], [1, 2]], np.int32),
+            accept=np.ones(P, bool),
+            num_matches=np.full(P, 4, np.int32),
+            num_inliers=np.full(P, 4, np.int32),
+            inlier_ratio=np.ones(P, np.float32),
+            reprojection_error=np.zeros(P, np.float32),
+            well_distributed=np.ones(P, bool),
+            F=np.tile(np.eye(3, dtype=np.float32), (P, 1, 1)),
+            xy1=np.zeros((P, 4, 2), np.float32),
+            xy2=np.zeros((P, 4, 2), np.float32),
+            idx1=np.tile(np.arange(4, dtype=np.int32), (P, 1)),
+            idx2=np.tile(np.arange(4, dtype=np.int32), (P, 1)),
+            match_valid=np.ones((P, 4), bool),
+            inliers=np.ones((P, 4), bool),
+        )
+        xy = rng.uniform(0, 100, (n, K, 2)).astype(np.float32)
+        cfg = SfMConfig(global_init=GlobalInitConfig(enabled=True))
+        sfm = StructureFromMotion(table, xy, cfg)
+        seen = {}
+
+        class _Bad:
+            stats = {"global_pair_outlier_frac": 0.9}
+
+        def fake_global(self):
+            seen["global"] = True
+            self.registered[:] = True  # garbage state the reset must clear
+            self.reg_order = [0, 1, 2]
+            return _Bad()
+
+        monkeypatch.setattr(StructureFromMotion, "run_global_reconstruction",
+                            fake_global)
+        try:
+            res = sfm.run_reconstruction()
+        except Exception:
+            res = None  # degenerate table: incremental may fail — fine
+        assert seen.get("global")
+        assert not isinstance(res, _Bad)  # the garbage model was NOT returned
 
 
 class TestPairRotationResiduals:
