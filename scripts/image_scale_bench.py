@@ -51,9 +51,17 @@ def full(n, mode="global", kind="sift", fast_threshold=None):
     # thr=20 -> 118 accepted pairs = garbage averaging input; thr=10 ->
     # 1,237 accepted). SIFT's normalized DoG gate needs no such tuning.
     fkw = {} if fast_threshold is None else {"fast_threshold": fast_threshold}
+    # Single-chip HBM scaling: at ~500 dense-texture images a 512-match
+    # budget yields ~1.7M BA observations, which is past what one 16 GB
+    # chip's global BA holds (measured: compile-OOM at 22.25 GB, then a
+    # runtime worker crash at the edge after the Jacobian chunking fix).
+    # 256 matches/pair halves the observation load at equal pair coverage;
+    # scenes beyond that belong on the obs-sharded multi-chip BA
+    # (parallel/run_ba_sharded).
+    mm = 512 if n < 400 else 256
     cfg = SfMConfig(
         features=FeatureConfig(kind=kind, **fkw),
-        matching=MatchConfig(max_matches=512),
+        matching=MatchConfig(max_matches=mm),
         verify=VerifyConfig(ransac_iters=1024),
         ba=BAConfig(max_iterations=30 if glob else 15,
                     cg_iters=80 if glob else 40,

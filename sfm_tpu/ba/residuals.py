@@ -42,16 +42,49 @@ def _res_packed(camp, intr, point, xy):
 _jac = jax.jacrev(_res_packed, argnums=(0, 1, 2))
 
 
+# Observation rows per lax.map chunk in residuals_and_jacobians. The
+# vmapped-jacrev temps through rodrigues have shape (chunk, 2, 3, 3) and
+# XLA lays their trailing 3x3 on (4, 128) tiles — a 57x padding expansion
+# (pixel-500 OOM dump: 2 x 6.67 GB temps for 2 x 120 MB of data at
+# O = 1.75M). Chunking bounds those temps to ~0.5 GB each regardless of O;
+# the OUTPUTS (O,2,6)/(O,2,4)/(O,2,3) are unaffected (XLA already stores
+# them minor-dim-on-O, compact). Small problems bypass the map entirely.
+_JAC_CHUNK = 131072
+
+
+def _chunked_over_obs(fn, leaves, O, chunk=_JAC_CHUNK):
+    """lax.map ``fn`` over O-leading leaves in fixed-size chunks."""
+    pad = (-O) % chunk
+    if pad:
+        leaves = [jnp.concatenate(
+            [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)]) for a in leaves]
+    n = (O + pad) // chunk
+    reshaped = [a.reshape((n, chunk) + a.shape[1:]) for a in leaves]
+    outs = jax.lax.map(fn, tuple(reshaped))
+    return jax.tree_util.tree_map(
+        lambda a: a.reshape((-1,) + a.shape[2:])[:O], outs)
+
+
 def residuals_and_jacobians(problem_arrays):
     """Compute r, J_c, J_k, J_p for every observation row (masked later)."""
     rvec, tvec, intr, points, obs_cam, obs_point, obs_xy = problem_arrays
     camp = jnp.concatenate([rvec, tvec], axis=-1)        # (C, 6)
     cam_o = camp[obs_cam]                                # (O, 6)
     pt_o = points[obs_point]                             # (O, 3)
+    O = cam_o.shape[0]
 
-    r = jax.vmap(_res_packed, in_axes=(0, None, 0, 0))(cam_o, intr, pt_o, obs_xy)
-    J_c, J_k, J_p = jax.vmap(_jac, in_axes=(0, None, 0, 0))(cam_o, intr, pt_o, obs_xy)
-    return r, J_c, J_k, J_p
+    if O <= _JAC_CHUNK:
+        r = jax.vmap(_res_packed, in_axes=(0, None, 0, 0))(cam_o, intr, pt_o, obs_xy)
+        J_c, J_k, J_p = jax.vmap(_jac, in_axes=(0, None, 0, 0))(cam_o, intr, pt_o, obs_xy)
+        return r, J_c, J_k, J_p
+
+    def f(args):
+        c, p, x = args
+        r = jax.vmap(_res_packed, in_axes=(0, None, 0, 0))(c, intr, p, x)
+        J_c, J_k, J_p = jax.vmap(_jac, in_axes=(0, None, 0, 0))(c, intr, p, x)
+        return r, J_c, J_k, J_p
+
+    return _chunked_over_obs(f, [cam_o, pt_o, obs_xy], O)
 
 
 def _res_packed10(camp, point, xy):
@@ -70,9 +103,20 @@ def residuals_and_jacobians_percam(problem_arrays):
     camp = jnp.concatenate([rvec, tvec, intr_c], axis=-1)  # (C, 10)
     cam_o = camp[obs_cam]
     pt_o = points[obs_point]
-    r = jax.vmap(_res_packed10)(cam_o, pt_o, obs_xy)
-    J_c, J_p = jax.vmap(_jac10)(cam_o, pt_o, obs_xy)
-    return r, J_c, J_p
+    O = cam_o.shape[0]
+
+    if O <= _JAC_CHUNK:
+        r = jax.vmap(_res_packed10)(cam_o, pt_o, obs_xy)
+        J_c, J_p = jax.vmap(_jac10)(cam_o, pt_o, obs_xy)
+        return r, J_c, J_p
+
+    def f(args):
+        c, p, x = args
+        r = jax.vmap(_res_packed10)(c, p, x)
+        J_c, J_p = jax.vmap(_jac10)(c, p, x)
+        return r, J_c, J_p
+
+    return _chunked_over_obs(f, [cam_o, pt_o, obs_xy], O)
 
 
 def huber_weights(r, delta: float):

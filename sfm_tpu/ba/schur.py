@@ -98,7 +98,12 @@ def _seg_sum_pt(values, seg_ids, num_segments):
 # one-hot wins ~2.3x over scatter (module docstring) but its HBM footprint is
 # O(obs * cams) — past this it cannot allocate; linearize_system then stores
 # onehot_cam=None and every camera reduction takes the segment_sum fallback.
-_ONEHOT_BUDGET_ELEMS = 1_500_000_000
+# Lowered from 1.5e9 after the pixel-500 OOM: at O=1.75M, C=500 the (O, C)
+# one-hot is 874M elems = 3.3 GB, which coexisted with the linearization's
+# whitened Jacobians and pushed the program past 15.75 GB HBM. The O(obs)
+# fallback reduction costs a few % at this scale; 250M elems (~1 GB) keeps
+# the one-hot win for every small/medium problem.
+_ONEHOT_BUDGET_ELEMS = 250_000_000
 
 
 def _cam_reduce(onehot_cam, values, obs_cam=None, num_cameras=None):

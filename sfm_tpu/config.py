@@ -262,6 +262,19 @@ class BAConfig:
     min_lambda: float = 1e-9
     max_lambda: float = 1e6
     huber_delta: float = 2.0           # px (ref uses huber loss, :511)
+    max_obs: int = 1_000_000           # single-chip HBM ceiling on the flat
+                                       # BA observation table. The engine
+                                       # compacts invalid track slots out
+                                       # and, above this, subsamples
+                                       # observations (each track's first
+                                       # two views are protected so every
+                                       # point stays constrained). pixel-500
+                                       # measured: the relaxed first global
+                                       # triangulation fed BA 1.75M slots
+                                       # and crashed the 16 GB chip; full
+                                       # fidelity at that scale belongs on
+                                       # the obs-sharded multi-chip BA
+                                       # (parallel/run_ba_sharded). 0 = off
     cg_iters: int = 50                 # CG iterations on the Schur system
     cg_tol: float = 1e-6
     use_dense_schur_below: int = 256   # cams <= this -> direct dense-S build

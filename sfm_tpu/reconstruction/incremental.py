@@ -813,10 +813,22 @@ class StructureFromMotion:
     # -------------------------------------------------------------------- BA
 
     def _ba_problem_arrays(self):
-        """Flatten every (track, view) slot into the BA observation table."""
+        """Flatten every (track, view) slot into the BA observation table.
+
+        Two memory controls before the table reaches the device (pixel-500
+        measured: the raw T x V table was 1.75M rows — mostly invalid slots
+        — and the resulting BA program crashed the 16 GB chip):
+        1. COMPACT: when the table is mostly padding, keep only valid rows,
+           bucket-rounded to 256k so the LM program shape (and compile) is
+           reused across BA calls.
+        2. SUBSAMPLE to ``BAConfig.max_obs``: an even stride over the valid
+           rows beyond each track's first two views (those are protected so
+           every point stays constrained). Full fidelity past the cap is
+           the multi-chip obs-sharded BA's job.
+        """
         T, V = self.tracks.view_img.shape
         view_img = self.tracks.view_img
-        obs_cam = np.clip(view_img.reshape(-1), 0, self.num_images - 1)
+        obs_cam = np.clip(view_img.reshape(-1), 0, self.num_images - 1).astype(np.int32)
         obs_point = np.repeat(np.arange(T, dtype=np.int32), V)
         obs_xy = self.tracks.view_xy.reshape(-1, 2)
         obs_valid = (
@@ -824,7 +836,41 @@ class StructureFromMotion:
             & self.registered[obs_cam]
             & self.point_valid[obs_point]
         )
-        return obs_cam.astype(np.int32), obs_point, obs_xy, obs_valid
+        max_obs = self.config.ba.max_obs
+        n_valid = int(obs_valid.sum())
+        total = obs_valid.shape[0]
+        needs_cap = max_obs > 0 and n_valid > max_obs
+        # Compaction pays for its (rare) recompiles only when it removes a
+        # large padding fraction or a cap must be applied anyway.
+        if not needs_cap and (total <= 1_250_000 or n_valid > 0.6 * total):
+            return obs_cam, obs_point, obs_xy, obs_valid
+        sel = np.nonzero(obs_valid)[0]
+        if needs_cap:
+            v_slot = sel % V
+            protected = v_slot < 2
+            rest = sel[~protected]
+            base = sel[protected]
+            need = max_obs - len(base)
+            if need > 0 and len(rest) > need:
+                rest = rest[np.linspace(0, len(rest) - 1, need).astype(np.int64)]
+            elif need <= 0:
+                rest = rest[:0]
+            sel = np.sort(np.concatenate([base, rest]))
+            logger.info(
+                "BA observation cap: %d valid -> %d (max_obs=%d; first two "
+                "views per track protected)", n_valid, len(sel), max_obs)
+        bucket = 262_144
+        padded = max(bucket, (len(sel) + bucket - 1) // bucket * bucket)
+        out_cam = np.zeros(padded, np.int32)
+        out_point = np.zeros(padded, np.int32)
+        out_xy = np.zeros((padded, 2), np.float32)
+        out_valid = np.zeros(padded, bool)
+        k = len(sel)
+        out_cam[:k] = obs_cam[sel]
+        out_point[:k] = obs_point[sel]
+        out_xy[:k] = obs_xy[sel]
+        out_valid[:k] = True
+        return out_cam, out_point, out_xy, out_valid
 
     def bundle_adjust(self, final: bool = False):
         """Run the sparse LM program on the current state (ref :401-549).
@@ -859,6 +905,9 @@ class StructureFromMotion:
         use_blocked = (
             int(self.registered.sum()) > cfg.use_dense_schur_below
             and fill >= cfg.blocked_min_fill
+            # The blocked (P, V) layout cannot subsample rows; past the
+            # single-chip observation cap the flat path (which can) wins.
+            and (cfg.max_obs <= 0 or int(obs_ok_2d.sum()) <= cfg.max_obs)
         )
         if use_blocked:
             from sfm_tpu.ba.blocked import build_blocked_problem, run_ba_blocked

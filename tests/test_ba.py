@@ -518,3 +518,55 @@ class TestF64NormalEquations:
         # The f64 island must keep descending where f32 has hit its floor.
         assert c64 < 0.75 * c32, (c32, c64)
         assert float(s64["rms_px"]) < float(s32["rms_px"])
+
+
+class TestChunkedJacobians:
+    """residuals_and_jacobians chunks its vmapped-jacrev over observations
+    past _JAC_CHUNK (the per-obs (2,3,3) temps tile-pad 57x on TPU and
+    OOMed the chip at O=1.75M) — the chunked path must be exactly the
+    direct path."""
+
+    def test_chunked_equals_direct(self, monkeypatch):
+        from sfm_tpu.ba import residuals as res_mod
+
+        rng = np.random.default_rng(3)
+        C, P, O = 7, 50, 1000
+        rvec = 0.1 * rng.normal(size=(C, 3)).astype(np.float32)
+        tvec = rng.normal(size=(C, 3)).astype(np.float32)
+        intr = np.array([1200.0, 1190.0, 500.0, 380.0], np.float32)
+        pts = rng.normal(size=(P, 3)).astype(np.float32) + [0, 0, 8]
+        obs_cam = rng.integers(0, C, O).astype(np.int32)
+        obs_point = rng.integers(0, P, O).astype(np.int32)
+        obs_xy = rng.uniform(0, 1000, (O, 2)).astype(np.float32)
+        args = tuple(jnp.asarray(a) for a in
+                     (rvec, tvec, intr, pts, obs_cam, obs_point, obs_xy))
+        direct = res_mod.residuals_and_jacobians(args)
+        monkeypatch.setattr(res_mod, "_JAC_CHUNK", 192)  # not a divisor of O
+        chunked = res_mod.residuals_and_jacobians(args)
+        for d, c in zip(direct, chunked):
+            # Not bitwise: chunking changes XLA fusion shapes, which changes
+            # rounding in the last ulp or two.
+            np.testing.assert_allclose(np.asarray(d), np.asarray(c),
+                                       rtol=3e-5, atol=3e-3)
+
+    def test_chunked_percam_equals_direct(self, monkeypatch):
+        from sfm_tpu.ba import residuals as res_mod
+
+        rng = np.random.default_rng(4)
+        C, P, O = 5, 40, 700
+        rvec = 0.1 * rng.normal(size=(C, 3)).astype(np.float32)
+        tvec = rng.normal(size=(C, 3)).astype(np.float32)
+        intr_c = np.tile(np.array([1200.0, 1190.0, 500.0, 380.0], np.float32),
+                         (C, 1))
+        pts = rng.normal(size=(P, 3)).astype(np.float32) + [0, 0, 8]
+        obs_cam = rng.integers(0, C, O).astype(np.int32)
+        obs_point = rng.integers(0, P, O).astype(np.int32)
+        obs_xy = rng.uniform(0, 1000, (O, 2)).astype(np.float32)
+        args = tuple(jnp.asarray(a) for a in
+                     (rvec, tvec, intr_c, pts, obs_cam, obs_point, obs_xy))
+        direct = res_mod.residuals_and_jacobians_percam(args)
+        monkeypatch.setattr(res_mod, "_JAC_CHUNK", 256)
+        chunked = res_mod.residuals_and_jacobians_percam(args)
+        for d, c in zip(direct, chunked):
+            np.testing.assert_allclose(np.asarray(d), np.asarray(c),
+                                       rtol=3e-5, atol=3e-3)
