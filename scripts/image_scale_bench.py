@@ -66,7 +66,11 @@ def full(n, mode="global", kind="sift", fast_threshold=None):
         ba=BAConfig(max_iterations=30 if glob else 15,
                     cg_iters=80 if glob else 40,
                     optimize_intrinsics=False, prune_multiplier=3.0,
-                    frequency=7),
+                    frequency=7,
+                    # Restricted windowed periodic BA for the incremental
+                    # modes (on-chip A/B in PROGRESS round 5: faster AND
+                    # more accurate); final BA stays global.
+                    local_window=0 if glob else 16),
         triangulation=TriangulationConfig(cadence=2),
         global_init=GlobalInitConfig(enabled=glob, polish=(mode == "polish")),
         retrieval=RetrievalConfig(mode="auto"),
