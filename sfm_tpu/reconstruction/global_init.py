@@ -887,16 +887,54 @@ def polish_poses(table, K, num_images, rvec, tvec, registered,
     )
     w, n_down = _averaging_weights(rel, cfg)
     R_cur = np.asarray(rodrigues(jnp.asarray(rvec)), np.float32)
-    R_abs = rotation_averaging(
-        rel["pairs"], rel["R"], w, num_images,
-        power_iters=cfg.power_iters, refine_iters=cfg.refine_iters,
-        init=R_cur,
-    )
     C_cur = -np.einsum("nba,nb->na", R_cur, np.asarray(tvec, np.float32))
-    C = translation_averaging(
-        rel["pairs"], R_abs, rel["t"], w, num_images,
-        als_rounds=cfg.als_rounds, cg_iters=cfg.cg_iters, init=C_cur,
-    )
+
+    def _solve(R_init, C_init):
+        R_abs = rotation_averaging(
+            rel["pairs"], rel["R"], w, num_images,
+            power_iters=cfg.power_iters, refine_iters=cfg.refine_iters,
+            init=R_init,
+        )
+        C = translation_averaging(
+            rel["pairs"], R_abs, rel["t"], w, num_images,
+            als_rounds=cfg.als_rounds, cg_iters=cfg.cg_iters,
+            init=(tree_init_centers(forest, R_abs, rel["pairs"], rel["t"],
+                                    num_images)
+                  if C_init is None else C_init),
+        )
+        return R_abs, C
+
+    def _score(R_abs):
+        rv = np.asarray(rotation_to_rvec(jnp.asarray(R_abs)), np.float32)
+        res = pair_rotation_residuals(rv, rel["pairs"], rel["R"])
+        return (float(np.mean(res > cfg.consistency_warn_deg)),
+                float(np.median(res)))
+
+    # TWO averaging basins, scored by self-consistency. The incremental
+    # seed is right when the model drifted SMOOTHLY (the common case — it
+    # keeps the solvers convergent on large-diameter graphs). But an
+    # incremental model with a sharp HINGE (pixel-500, measured: consecutive
+    # pair errors of ~0.07 deg with a few 19-deg hinge links folding the
+    # chain 92 deg vs GT) traps the seeded IRLS: from the folded basin the
+    # true hinge-crossing measurements read as outliers and get
+    # down-weighted, so polish converges back to the fold (6.8% gross-
+    # outlier edges — inside the old adoption gate). The spanning-tree seed
+    # (the from-scratch global basin) is hinge-free by construction; pick
+    # whichever solution disagrees with fewer of its own measurements.
+    R_inc, C_inc = _solve(R_cur, C_cur)
+    forest = spanning_forest(rel["pairs"], w, num_images)
+    R_tree, C_tree = _solve(
+        tree_init_rotations(forest, rel["R"], num_images), None)
+    s_inc, s_tree = _score(R_inc), _score(R_tree)
+    if s_tree < s_inc:
+        R_abs, C, seed_choice = R_tree, C_tree, "tree"
+    else:
+        R_abs, C, seed_choice = R_inc, C_inc, "incremental"
+    rel["seed_choice"] = seed_choice
+    logger.info(
+        "polish seed selection: incremental (outliers %.1f%%, med %.2f deg) "
+        "vs tree (%.1f%%, %.2f deg) -> %s",
+        100 * s_inc[0], s_inc[1], 100 * s_tree[0], s_tree[1], seed_choice)
     i_idx, j_idx = rel["pairs"][:, 0], rel["pairs"][:, 1]
     base_in = np.linalg.norm(C_cur[j_idx] - C_cur[i_idx], axis=-1)
     base_out = np.linalg.norm(C[j_idx] - C[i_idx], axis=-1)

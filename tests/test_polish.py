@@ -94,6 +94,35 @@ class TestPolishPoses:
         s_out = np.median(np.linalg.norm(C_p[j] - C_p[i], axis=-1))
         assert abs(s_out / s_in - 1.0) < 0.2
 
+    def test_recovers_from_hinge_fold(self, scene_and_table):
+        """A sharp HINGE (every camera past index k rotated together by a
+        large angle) — not smooth drift — is the pixel-500 failure mode:
+        seeded-from-incremental IRLS stays in the folded basin because the
+        true hinge-crossing measurements read as outliers from there. The
+        dual-seed selection must pick the spanning-tree basin and unfold."""
+        scene, table = scene_and_table
+        n = scene["R"].shape[0]
+        rvec_h = np.zeros((n, 3), np.float32)
+        tvec_h = np.zeros((n, 3), np.float32)
+        k = n // 2
+        D = Rotation.from_euler("y", np.radians(40.0)).as_matrix()
+        for c in range(n):
+            C = -scene["R"][c].T @ scene["t"][c]
+            if c >= k:
+                Rh = (scene["R"][c] @ D.T).astype(np.float32)
+                Ch = (D @ C).astype(np.float32)
+            else:
+                Rh, Ch = scene["R"][c].astype(np.float32), C.astype(np.float32)
+            rvec_h[c] = np.asarray(rotation_to_rvec(jnp.asarray(Rh)))
+            tvec_h[c] = -Rh @ Ch
+        assert max(rel_rot_errors(rvec_h, scene)) > 20.0  # the hinge is real
+        rvec_p, tvec_p, placed, rel = polish_poses(
+            table, scene["K"], n, rvec_h, tvec_h, np.ones(n, bool),
+            config=GlobalInitConfig(),
+        )
+        assert max(rel_rot_errors(rvec_p, scene)) < 2.0, \
+            max(rel_rot_errors(rvec_p, scene))
+
     def test_subgraph_restricted_to_registered(self, scene_and_table):
         scene, table = scene_and_table
         n = scene["R"].shape[0]
